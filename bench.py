@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed to completion via a count-style action over the full
+result (no driver-side row materialization — that's the scalable sink
+analog). Wall time per query includes plan + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shortvideohybridanalyticslakehouse_spark.plans.queries import REGISTRY
+from shortvideohybridanalyticslakehouse_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_decision_context",
+    "events_1min_agg",
+    "rolling_30m_metrics",
+    "validate_split_quarantine",
+    "cdc_latest_snapshot",
+    "join_enrich_revenue",
+    "distinct_active_users",
+    "topk_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("svh-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _ = REGISTRY[name]
+        # Warm the plan (parquet footer reads, broadcast prep) is part of the
+        # measured time: cold wall-clock is what the SLO cares about.
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # Force full computation of every output column (a bare count() lets
+        # Catalyst prune projected expressions): hash all columns, reduce to
+        # one driver-side number — the no-I/O analog of writing to a sink.
+        from pyspark.sql import functions as F
+
+        df.select(
+            F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("h")
+        ).collect()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_seconds_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

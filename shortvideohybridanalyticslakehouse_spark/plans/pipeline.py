@@ -1,0 +1,162 @@
+"""Flagship pipeline over the driver's fixture tables (TESTDATA.md §B).
+
+This is the reference's end-to-end serving query (SURVEY.md §7.2) re-keyed to
+the fixture `events` table: validate/split -> 1-minute tumbling conditional
+aggregation -> per-key rolling 30-minute RANGE sums -> dimension join +
+cross-joined quantile thresholds -> null-safe flags -> 4-way decision CASE.
+
+Event-type mapping (fixture -> reference metric):
+    view -> impressions, click -> play_start, purchase -> play_finish,
+    signup -> likes/shares blend, error -> skips.
+
+Scaled decision knobs (fixture data is ~50 events/user/month vs the
+reference's 120 events/sec firehose): floors shrink proportionally; the
+FORMULA SHAPES are the contract-locked ones (operators/decision.py).
+
+Determinism-for-oracle notes: every derived double is computed from exact
+integer/decimal aggregates, so Spark and DuckDB produce bit-identical
+values; quantile thresholds are rounded to 6 decimals on both sides before
+use (interpolation formulas may differ in the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.operators.aggregate import tumbling_window_agg
+from shortvideohybridanalyticslakehouse_spark.operators.decision import (
+    with_decision,
+    with_flags,
+)
+from shortvideohybridanalyticslakehouse_spark.operators.rolling import rolling_range_sums
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+# Scaled flagship knobs (oracle SQL in __spark_entry__ must mirror these).
+FLAGSHIP_MIN_IMPRESSIONS = 2.0
+FLAGSHIP_MIN_COMPLETION = 0.25
+FLAGSHIP_MAX_SKIP = 0.75
+FLAGSHIP_MIN_PLAY_START = 1.0
+FLAGSHIP_MAX_AGE_MINUTES = 7 * 24 * 60.0  # "young" = first seen within 7 days
+
+
+def events_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: 1-minute tumbling conditional-count aggregation per user."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    return tumbling_window_agg(
+        ev,
+        ts_col="ts",
+        key_cols=["user_id"],
+        window_duration="1 minute",
+        count_conditions={
+            "impressions": t == "view",
+            "play_start": t == "click",
+            "play_finish": t == "purchase",
+            "likes": t == "signup",
+            "skips": t == "error",
+        },
+        sum_exprs={
+            # exact decimal sum -> double: bit-identical across engines
+            "value_sum": F.col("value").cast("decimal(18,2)"),
+        },
+    ).withColumn("value_sum", F.col("value_sum").cast("double"))
+
+
+def rolling_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: trailing 30-minute RANGE-frame sums over the 1-minute aggregate."""
+    agg = events_1min(spark, sf_dir).withColumn(
+        "value_dec", F.col("value_sum").cast("decimal(18,2)")
+    )
+    rolled = rolling_range_sums(
+        agg,
+        partition_cols=["user_id"],
+        ts_col="window_start",
+        sum_cols=["impressions", "play_start", "play_finish", "likes", "skips", "value_dec"],
+        minutes=30,
+    )
+    return rolled.withColumn(
+        "value_30m", F.col("value_dec_30m").cast("double")
+    ).drop("value_dec", "value_dec_30m")
+
+
+def user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension analog: per-user first-seen timestamp (J1 build side).
+
+    Tiny output (one row per user) — explicitly broadcast at join time.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+
+
+def decision_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: rolling metrics + dim join + thresholds + decision CASE."""
+    rolled = rolling_30m(spark, sf_dir)
+
+    # Derived metrics — contract formula shapes over exact int inputs.
+    rolled = (
+        rolled.withColumn(
+            "velocity_30m",
+            (F.col("likes_30m") + F.lit(5) * F.col("play_finish_30m"))
+            / F.greatest(F.col("impressions_30m"), F.lit(100)).cast("double"),
+        )
+        .withColumn(
+            "completion_30m",
+            F.col("play_finish_30m")
+            / F.greatest(F.col("play_start_30m"), F.lit(1)).cast("double"),
+        )
+        .withColumn(
+            "skip_30m",
+            F.col("skips_30m")
+            / F.greatest(F.col("play_start_30m"), F.lit(1)).cast("double"),
+        )
+    )
+
+    # J2/J3 analog: one-row exact-quantile threshold set, cross-joined.
+    thresholds = rolled.agg(
+        F.round(F.expr("percentile(velocity_30m, 0.9)"), 6).alias("velocity_p90"),
+        F.round(F.expr("percentile(impressions_30m, 0.4)"), 6).alias("impressions_p40"),
+    )
+    ctx = rolled.crossJoin(F.broadcast(thresholds))
+
+    # J1: left join the (broadcast) user dimension; derive upload-age analog.
+    dim = user_dim(spark, sf_dir)
+    ctx = ctx.join(F.broadcast(dim), "user_id", "left").withColumn(
+        "age_minutes",
+        (
+            F.col("window_start").cast("long") - F.col("first_seen").cast("long")
+        ).cast("double")
+        / F.lit(60.0),
+    )
+
+    ctx = with_flags(
+        ctx,
+        velocity_p90=F.col("velocity_p90"),
+        impressions_p40=F.col("impressions_p40"),
+        min_impressions=FLAGSHIP_MIN_IMPRESSIONS,
+        min_completion=FLAGSHIP_MIN_COMPLETION,
+        max_skip=FLAGSHIP_MAX_SKIP,
+        min_play_start=FLAGSHIP_MIN_PLAY_START,
+    )
+    ctx = with_decision(
+        ctx,
+        upload_age_minutes="age_minutes",
+        max_rescue_age_minutes=FLAGSHIP_MAX_AGE_MINUTES,
+    )
+    return ctx.select(
+        "user_id",
+        "window_start",
+        "impressions_30m",
+        "play_start_30m",
+        "play_finish_30m",
+        "likes_30m",
+        "skips_30m",
+        "value_30m",
+        "velocity_30m",
+        "completion_30m",
+        "skip_30m",
+        "is_candidate",
+        "is_quality",
+        "is_under_exposed",
+        "decision_type",
+    )

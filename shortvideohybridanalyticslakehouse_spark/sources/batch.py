@@ -1,0 +1,78 @@
+"""Batch sources (S1-S4 batch analogs, S10).
+
+Batch mode replays the same logical plans the streaming jobs run; fixtures
+are parquet directories (TESTDATA.md). Lineage columns replace Kafka
+metadata (S3): in batch fixtures ``source_offset`` is a monotonically
+increasing row index per input ordering — the contract tie-break analog
+(ref: docs/architecture/streaming/spark-realtime-jobs-contract-m1.md:94-97).
+
+Scale: `spark.read.parquet` gives vectorized columnar scans with predicate
+pushdown and partition pruning for free; `with_lineage` is a narrow op
+(`monotonically_increasing_id` is per-partition monotone, which is exactly
+the per-partition-ordered offset semantics Kafka gives per partition).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-precision parquet timestamp read as long (see session.py);
+        # truncate to Spark's native microsecond precision — identical to
+        # what DuckDB does when reading TIMESTAMP_NS, so oracles agree.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def with_lineage(
+    df: DataFrame,
+    topic: str = "batch_fixture",
+    partition: int = 0,
+) -> DataFrame:
+    """S3 batch analog: synthesize source_* lineage columns.
+
+    ``offset`` is per-partition monotone (Kafka offsets are only ordered
+    within a partition too, so downstream tie-break semantics carry over).
+    """
+    return (
+        df.withColumn("topic", F.lit(topic))
+        .withColumn("partition", F.lit(partition))
+        .withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("kafka_timestamp", F.current_timestamp())
+    )
+
+
+def jsonl_fixture_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Wrap a one-string-column DataFrame as the kafka-shaped raw contract."""
+    return with_lineage(df.select(F.col(value_col).alias("raw_value")))
