@@ -18,7 +18,9 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, SparkSession
 
-from shortvideohybridanalyticslakehouse_spark.plans.queries import REGISTRY
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+REGISTRY = load_all()
 
 
 def _ensure_confs(spark: SparkSession) -> SparkSession:

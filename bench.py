@@ -19,8 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from shortvideohybridanalyticslakehouse_spark.plans.queries import REGISTRY
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
 from shortvideohybridanalyticslakehouse_spark.session import get_spark
+
+REGISTRY = load_all()
 
 HEADLINE = [
     "flagship_decision_context",

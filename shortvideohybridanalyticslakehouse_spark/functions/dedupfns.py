@@ -1,0 +1,209 @@
+"""Near-duplicate detection: shingles, MinHash + LSH banding, SimHash,
+n-gram Jaccard.
+
+Scale design (the 100 TB story):
+- Shingling / MinHash signatures: narrow per-row higher-order expressions —
+  no shuffle, embarrassingly parallel.
+- LSH candidate generation: explode to (band_id, band_hash) keys and
+  self-join — shuffle is proportional to docs x bands, NOT docs², and the
+  band-hash join key is uniformly distributed (md5), so no skew.
+- Exact n-gram Jaccard: explode distinct shingles and equi-join on shingle —
+  at corpus scale you run it only on LSH candidates (candidate_pairs ->
+  verify), which this module supports by composing the two.
+- MinHash trick for cross-engine determinism: hash_i(shingle) =
+  md5(i || '|' || shingle), minimum taken LEXICOGRAPHICALLY over the hex
+  strings. Identical in any engine with a standard md5 — no platform hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_SIZE = 4  # 16 hashes -> 4 bands of 4
+
+
+def shingles(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct k-token shingles of lowercased whitespace-tokenized text.
+
+    array<string>; shorter-than-k docs yield the full token string.
+    """
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """MinHash signature: array of hex-string minima, one per hash function.
+
+    sig[i] = min over shingles s of md5(i || '|' || s). Lexicographic min
+    over uniformly distributed hex strings == min over 128-bit ints.
+    """
+    minima = []
+    for i in range(num_hashes):
+        # bind the seed OUTSIDE the lambda: a two-arg lambda (e.g. `i=i`
+        # default) would be interpreted by F.transform as (element, index)
+        prefix = F.lit(f"{i}|")
+        minima.append(
+            F.array_min(F.transform(shingle_col, lambda s: F.md5(F.concat(prefix, s))))
+        )
+    return F.array(*minima)
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    out_col: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(out_col, minhash_signature(shingles(F.col(text_col), k), num_hashes))
+
+
+def lsh_bands(
+    sig_col: Column,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> Column:
+    """Band the signature: array of structs (band_id, band_hash).
+
+    band_hash = md5 of the concatenated member hashes — the LSH bucket key.
+    """
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.element_at(sig_col, b * band_size + j + 1) for j in range(band_size)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) + MinHash-estimated Jaccard.
+
+    Shuffle cost: |docs| x n_bands rows joined on (band_id, band_hash).
+    Estimated Jaccard = fraction of agreeing signature positions.
+    """
+    banded = df.select(
+        F.col(id_col), F.col(sig_col), F.explode(lsh_bands(F.col(sig_col), num_hashes, band_size)).alias("band")
+    ).select(id_col, sig_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.withColumn(
+        "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+    ).select("doc_a", "doc_b", "est_jaccard")
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram (shingle-set) Jaccard for all co-shingled pairs.
+
+    Explode distinct shingles, equi-join on shingle, count intersections;
+    |union| = |A| + |B| - |A∩B|. Jaccard from exact ints -> deterministic.
+    At corpus scale, feed LSH candidates instead of the full corpus.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    exploded = sh.select(id_col, "sh_size", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(col: Column, prefix_hex: int = 15) -> Column:
+    """60-bit SimHash over whitespace tokens (weight 1 per distinct token).
+
+    Per-token hash = first 15 hex chars of md5 -> 60-bit int. Bit b of the
+    fingerprint is 1 iff more token-hashes have bit b set than unset.
+    Pure higher-order expressions (aggregate over bit positions).
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, prefix_hex), 16, 10).cast("bigint")
+    )
+    n_tokens = F.size(toks)
+    bits = []
+    for b in range(prefix_hex * 4):
+        # NB: bind the mask OUTSIDE the lambda — a two-arg lambda would be
+        # interpreted by F.filter as (element, index).
+        mask = F.lit(2 ** b).cast("bigint")
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        bit_set = (ones * 2) > n_tokens
+        bits.append(F.when(bit_set, F.lit(2 ** b)).otherwise(F.lit(0)).cast("bigint"))
+    total = bits[0]
+    for extra in bits[1:]:
+        total = total + extra
+    return total
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

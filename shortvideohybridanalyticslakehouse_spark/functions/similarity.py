@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a narrow per-row higher-order
+expression (zip_with dot product) + TakeOrderedAndProject; scales linearly
+and parallelizes perfectly, the right baseline even at 100 TB when the
+query set is small.
+
+Scale paths:
+- IVF: restrict the scan to the query's cluster partition(s). Here the
+  fixture's `label` column stands in for a trained coarse quantizer (at
+  production scale: KMeans from pyspark.ml, centroid assignment at write
+  time, partitioned/bucketed storage by cluster id -> partition pruning
+  turns top-k into a fraction-of-corpus scan).
+- Random-hyperplane LSH: sign-bit sketches give Hamming pre-filtering
+  (simhash-style); deterministic hyperplanes derived from md5 of
+  (plane_id, dim) so plans replay identically.
+
+All dot products are computed in array order with double accumulation —
+bit-identical across engines that do the same (DuckDB list_* functions do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays (double accumulation, array order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k of ``query_vec`` against the corpus.
+
+    Deterministic ordering: (cosine DESC rounded, id ASC).
+    """
+    scored = corpus.withColumn(
+        "cosine_sim", F.round(cosine(F.col(vec_col), query_vec), round_to)
+    )
+    return (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cosine_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: Column,
+    query_cluster: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style search: scan only the query's coarse cluster.
+
+    With cluster-partitioned storage the filter becomes partition pruning —
+    the scan reads |corpus|/n_clusters. (nprobe>1 = filter on a cluster set.)
+    """
+    return cosine_topk(
+        corpus.filter(F.col(cluster_col) == query_cluster),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    )
+
+
+def pairwise_cosine_topk(
+    corpus: DataFrame,
+    k_pairs: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k most-similar embedding PAIRS (near-dup detection by cosine).
+
+    Brute-force all-pairs — correct baseline at fixture scale; the scale
+    path is LSH/IVF blocking to bound the candidate set (see
+    dedupfns.minhash_candidate_pairs for the blocking pattern).
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_to)
+    )
+    return (
+        scored.orderBy(
+            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(k_pairs)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def hyperplane_sketch(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH sign sketch as a BIGINT (deterministic planes).
+
+    Plane p's component d is +1 if bit0 of md5(p|d) is set else -1 —
+    reproducible everywhere, no RNG state. At scale, precompute planes as a
+    literal array once (driver-side) instead of hashing per row.
+    """
+    plane_signs = [
+        [
+            1 if int(_md5_hex(f"{p}|{d}")[0], 16) % 2 == 1 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+    bits = []
+    for p, signs in enumerate(plane_signs):
+        signed = F.zip_with(
+            vec,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda x, s: x.cast("double") * s.cast("double"),
+        )
+        proj = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0)).cast("bigint"))
+    total = bits[0]
+    for extra in bits[1:]:
+        total = total + extra
+    return total
+
+
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()

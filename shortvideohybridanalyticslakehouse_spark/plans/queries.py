@@ -32,17 +32,11 @@ from shortvideohybridanalyticslakehouse_spark.operators.validate import (
 from shortvideohybridanalyticslakehouse_spark.plans import pipeline
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (  # noqa: F401
+    REGISTRY,
+    QueryFn,
+    register,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,428 @@
+"""Extension-operator queries: text analysis, dedup family, similarity
+search — the training-data-pipeline surface (BASELINE.json north star),
+each with a DuckDB oracle where SQL-expressible.
+
+Determinism notes: all fingerprints are md5-based (identical across
+engines); top-k outputs order by (score, id...) with full tie-breaks;
+doubles derive from exact ints or are rounded to 5-6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.functions import dedupfns, similarity, text
+from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = r"""
+WITH t AS (
+  SELECT
+    doc_id, lang, n_chars,
+    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+    text
+  FROM documents
+), s AS (
+  SELECT
+    doc_id, lang, n_chars,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars_measured,
+    CAST(len(regexp_extract_all(text, '[\.,;:!\?"''\(\)\[\]\{\}-]')) AS BIGINT) AS n_punct,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM t
+)
+SELECT
+  doc_id, lang, n_tokens, n_chars_measured, n_punct,
+  round(
+    0.4 * least(1.0, n_tokens / 50.0)
+    + 0.3 * (1.0 - least(1.0, (n_punct / greatest(n_chars_measured, 1.0)) * 5.0))
+    + 0.3 * least(1.0, (s_en / greatest(n_tokens, 1.0)) * 5.0), 6) AS quality,
+  CASE
+    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+    WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_guess,
+  fingerprint
+FROM s
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text profile: token/char/punct counts, quality score, lang-ID,
+    md5 fingerprint — all narrow Catalyst expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text.token_count(c).cast("bigint").alias("n_tokens"),
+        text.char_count(c).cast("bigint").alias("n_chars_measured"),
+        text.punct_count(c).cast("bigint").alias("n_punct"),
+        F.round(text.quality_score(c), 6).alias("quality"),
+        text.lang_guess(c).alias("lang_guess"),
+        text.doc_fingerprint(c).alias("fingerprint"),
+    )
+
+
+_TERM_STATS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), stats AS (
+  SELECT term,
+    CAST(count(*) AS BIGINT) AS total_tf,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM tok GROUP BY 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT
+  term, total_tf, doc_freq,
+  round(ln(n.n_docs / doc_freq), 6) AS idf,
+  round(total_tf * ln(n.n_docs / doc_freq), 6) AS tfidf
+FROM stats CROSS JOIN n
+"""
+
+
+@register("term_tfidf", _TERM_STATS_ORACLE)
+def q_term_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> explode -> corpus TF/DF/IDF (the TF-IDF building block).
+
+    At 100 TB: explode is map-side; the term groupBy is one shuffle with
+    map-side partial aggregation — vocabulary-sized output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; on a cluster use a broadcast 1-row agg
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    idf = F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double"))
+    return stats.select(
+        "term",
+        "total_tf",
+        "doc_freq",
+        F.round(idf, 6).alias("idf"),
+        F.round(F.col("total_tf").cast("double") * idf, 6).alias("tfidf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = r"""
+SELECT
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_groups", _EXACT_DEDUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep min doc_id.
+
+    Hash-shuffle on a 128-bit key — uniform, skew-free at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", text.doc_fingerprint(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _duck_shingles(k: int = 3) -> str:
+    """DuckDB expr mirroring dedupfns.shingles (distinct k-token shingles)."""
+    return (
+        rf"list_distinct(list_transform("
+        rf"range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - {k - 1}, 1) + 1), "
+        rf"i -> array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), i, i + {k - 1}), ' ')))"
+    )
+
+
+_NGRAM_JACCARD_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles(3)} AS shs FROM documents
+), sized AS (
+  SELECT doc_id, shs, len(shs) AS sh_size FROM sh
+), ex AS (
+  SELECT doc_id, sh_size, unnest(shs) AS shingle FROM sized
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_size AS size_a, b.sh_size AS size_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(size_a + size_b - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+
+
+@register("ngram_jaccard_top_pairs", _NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard, top-20 most-similar pairs.
+
+    At corpus scale this runs on LSH candidates only; here the full corpus
+    is the candidate set (shingle equi-join, not doc x doc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedupfns.exact_jaccard_pairs(docs, "doc_id", "text", k=3)
+    return (
+        pairs.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+_MINHASH_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles(2)} AS shs FROM documents
+)
+SELECT
+  doc_id,
+  list_min(list_transform(shs, s -> md5('0|' || s))) AS sig_0,
+  list_min(list_transform(shs, s -> md5('5|' || s))) AS sig_5,
+  list_min(list_transform(shs, s -> md5('10|' || s))) AS sig_10,
+  list_min(list_transform(shs, s -> md5('15|' || s))) AS sig_15
+FROM sh
+"""
+
+
+@register("minhash_signatures", _MINHASH_ORACLE)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature spot-check columns (md5-min trick, 2-gram shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedupfns.minhash_signature(
+        dedupfns.shingles(F.col("text"), 2), num_hashes=16
+    )
+    df = docs.select("doc_id", sig.alias("sig"))
+    return df.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("sig_0"),
+        F.element_at("sig", 6).alias("sig_5"),
+        F.element_at("sig", 11).alias("sig_10"),
+        F.element_at("sig", 16).alias("sig_15"),
+    )
+
+
+_MINHASH_PAIRS_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles(2)} AS shs FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(shs, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, sig, b AS band_id,
+         md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS band_hash
+  FROM sig, range(0, 8) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 6) AS est_jaccard
+FROM pairs
+"""
+
+
+@register("minhash_lsh_candidates", _MINHASH_PAIRS_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band -> bucket-join -> est Jaccard.
+
+    Shuffle ∝ docs x bands (not docs²); md5 band hashes are skew-free.
+    16 hashes, 8 bands of 2 (fixture-tuned for recall on a tiny vocab).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_sig = docs.select("doc_id", F.col("text")).withColumn(
+        "minhash",
+        dedupfns.minhash_signature(dedupfns.shingles(F.col("text"), 2), 16),
+    )
+    pairs = dedupfns.minhash_candidate_pairs(
+        with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
+    )
+    return pairs.withColumn("est_jaccard", F.round(F.col("est_jaccard"), 6))
+
+
+_SIMHASH_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 60),
+    b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM t
+"""
+
+
+@register("simhash_fingerprints", _SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (near-dup hamming space)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedupfns.simhash64(F.col("text")).alias("simhash")
+    )
+
+
+@register(
+    "simhash_closest_pairs",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 60),
+      b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+ORDER BY hamming ASC, doc_a ASC, doc_b ASC
+LIMIT 20
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest doc pairs in SimHash hamming space."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", dedupfns.simhash64(F.col("text")).alias("simhash"))
+    a = f.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = f.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dedupfns.hamming_distance64(F.col("sh_a"), F.col("sh_b"))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_DUCK_COSINE = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6)"
+)
+
+_COSINE_TOPK_ORACLE = f"""
+WITH a AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id, {_DUCK_COSINE} AS cosine_sim
+FROM embeddings b CROSS JOIN a
+WHERE b.vec_id <> 0
+ORDER BY cosine_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("embedding_cosine_topk", _COSINE_TOPK_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vec_id=0 (ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
+    scored = corpus.withColumn(
+        "cosine_sim",
+        F.round(similarity.cosine(F.col("embedding"), F.col("query_vec")), 6),
+    )
+    return (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "cosine_sim")
+    )
+
+
+_IVF_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id, {_DUCK_COSINE.replace('a.embedding', 'q.embedding')} AS cosine_sim
+FROM embeddings b JOIN q ON b.label = q.label
+WHERE b.vec_id <> 0
+ORDER BY cosine_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("embedding_ivf_label_topk", _IVF_TOPK_ORACLE)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: scan only the query's coarse cluster (label).
+
+    With cluster-partitioned storage this filter is partition pruning —
+    a 1/n_clusters scan instead of the full corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"), F.col("label").alias("query_label")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
+    scored = corpus.filter(F.col("label") == F.col("query_label")).withColumn(
+        "cosine_sim",
+        F.round(similarity.cosine(F.col("embedding"), F.col("query_vec")), 6),
+    )
+    return (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "cosine_sim")
+    )
+
+
+_PAIRS_TOPK_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COSINE} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+
+@register("embedding_pairs_topk", _PAIRS_TOPK_ORACLE)
+def q_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-20 all-pairs cosine (blocked by LSH at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pairwise_cosine_topk(emb, k_pairs=20)

@@ -1,0 +1,31 @@
+"""Named-query registry shared by __spark_entry__, bench, and tests."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    """Decorator: add (builder, oracle_sql|None) under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, tuple[QueryFn, str | None]]:
+    """Import every query module so their @register calls run."""
+    from shortvideohybridanalyticslakehouse_spark.plans import (  # noqa: F401
+        queries,
+        queries_ext,
+    )
+
+    return REGISTRY

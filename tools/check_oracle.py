@@ -20,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 import pandas as pd
 
-import __spark_entry__ as entrymod
+import __spark_entry__ as entrymod  # noqa: E402 (loads full registry)
 from shortvideohybridanalyticslakehouse_spark.session import get_spark
 
 
