@@ -426,3 +426,32 @@ def q_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-20 all-pairs cosine (blocked by LSH at scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pairwise_cosine_topk(emb, k_pairs=20)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload plumbing over mapInPandas)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256,
+  CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 AS INT) AS fake_width,
+  CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 AS INT) AS fake_height
+FROM documents
+"""
+
+
+@register("multimodal_decode_stats", _MULTIMODAL_ORACLE)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing: mapInPandas (Arrow batches) computing
+    byte stats + stub-decoded dimensions; byte-exact vs the SQL oracle.
+
+    Proves the pandas-UDF surface (schema, batching, binary transport) is
+    real even though the codec itself is a deterministic stub.
+    """
+    from shortvideohybridanalyticslakehouse_spark.functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_stats(multimodal.attach_binary_payload(docs))

@@ -1,0 +1,226 @@
+"""Streaming jobs: content-events pipeline + CDC dim upsert (S1-S7, T1-T8).
+
+Same logical plans as batch mode (operators/ + plans/serving.py) behind
+Structured Streaming sources/sinks:
+
+- source: file/kafka stream of JSON `value` rows (the kafka wire shape).
+  Tests use a file source with availableNow; production swaps in
+  `format("kafka")` with identical downstream plans.
+- gold path: watermark -> dropDuplicatesWithinWatermark(event_id) ->
+  1-min tumbling agg -> foreachBatch MERGE-equivalent upsert (T5): union
+  with current table state, window-dedup keeping the freshest batch row,
+  overwrite. On Delta/Iceberg this becomes a real MERGE INTO; the
+  semantics (idempotent replay, late re-emission folding into the same
+  grain) are identical.
+- fan-out: bronze append / gold upsert / invalid append as independent
+  queries with isolated checkpoints (T4; ref checkpoint contract
+  docs/architecture/streaming/spark-realtime-jobs-contract-m1.md:101-119).
+
+Reference: src/spark/rt_content_events_aggregator.py:289-444,
+rt_video_cdc_upsert.py:224-276.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from shortvideohybridanalyticslakehouse_spark import contracts as C
+from shortvideohybridanalyticslakehouse_spark.operators.dedup import latest_per_key
+from shortvideohybridanalyticslakehouse_spark.operators.validate import (
+    annotate_cdc_errors,
+    annotate_content_errors,
+    bronze_projection,
+    invalid_projection,
+    parse_cdc_records,
+    parse_content_events,
+    split_valid_invalid,
+)
+from shortvideohybridanalyticslakehouse_spark.plans import serving
+
+
+def read_json_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1 batch-file analog: stream of one-string-`value` rows + lineage.
+
+    Kafka-metadata columns are synthesized (S3): file streams have no
+    topic/partition/offset (and monotone ids are unsupported on streams),
+    so the offset is a 64-bit content hash — stable across replays, unique
+    per distinct record. Tie-break ordering degrades from arrival order to
+    content order for byte-identical records only; a real Kafka source
+    provides true offsets with the same downstream plan.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return (
+        raw.select(F.col("value").alias("raw_value"))
+        .withColumn("topic", F.lit("stream_fixture"))
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.xxhash64(F.col("raw_value")))
+        .withColumn("kafka_timestamp", F.current_timestamp())
+    )
+
+
+def _merge_overwrite(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """T5: MERGE-equivalent upsert for plain-parquet tables.
+
+    Reads current state, unions the new batch (tagged as newer via
+    `_src_rank`), keeps the winner per key, atomically replaces the table
+    (write tmp + rename). On Delta/Iceberg: `MERGE INTO` instead.
+    """
+    batch_df = batch_df.withColumn("_src_rank", F.lit(1))
+    try:
+        current = spark.read.parquet(table_path).withColumn("_src_rank", F.lit(0))
+        combined = current.unionByName(batch_df)
+    except Exception:
+        combined = batch_df
+    merged = latest_per_key(
+        combined, key_cols, order_cols=["_src_rank"] + order_cols
+    ).drop("_src_rank")
+    tmp = table_path + "._tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(table_path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def start_content_events_job(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = C.WATERMARK_DELAY,
+    trigger: dict | None = None,
+) -> list[StreamingQuery]:
+    """Job 1: parse -> validate -> fan out to bronze / gold upsert / invalid.
+
+    Returns the three running queries (isolated checkpoints, T4).
+    """
+    trigger = trigger or {"availableNow": True}
+    parsed = annotate_content_errors(parse_content_events(source))
+    valid = parsed.filter(F.col("error_code").isNull())
+    invalid = parsed.filter(F.col("error_code").isNotNull())
+
+    bronze_q = (
+        bronze_projection(valid)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "bronze_raw_events"))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "bronze"))
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+
+    invalid_q = (
+        invalid_projection(invalid)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "invalid_events_content"))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "invalid"))
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+
+    # T1-T3: watermark + stateful dedup + tumbling agg, update mode via
+    # foreachBatch MERGE (late windows re-emitted and folded idempotently).
+    with_wm = valid.withWatermark("event_timestamp", watermark)
+    deduped = with_wm.dropDuplicatesWithinWatermark(["event_id"])
+    gold_stream = (
+        deduped.groupBy(
+            F.window(F.col("event_timestamp"), C.TUMBLING_WINDOW).alias("w"),
+            F.col("video_id"),
+        )
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == serving._etype(m), 1)).alias(m)
+                for m in serving.GOLD_METRICS
+            ],
+            F.sum("watch_time_ms").alias("watch_time_sum_ms"),
+        )
+        .select(
+            "video_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *serving.GOLD_METRICS,
+            "watch_time_sum_ms",
+            F.current_timestamp().alias("processed_at"),
+        )
+    )
+    gold_path = os.path.join(out_dir, "rt_video_stats_1min")
+
+    def upsert_gold(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_overwrite(
+            spark,
+            batch_df,
+            gold_path,
+            key_cols=["video_id", "window_start"],
+            order_cols=["processed_at"],
+        )
+
+    gold_q = (
+        gold_stream.writeStream.foreachBatch(upsert_gold)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "gold"))
+        .outputMode("update")
+        .trigger(**trigger)
+        .start()
+    )
+    return [bronze_q, invalid_q, gold_q]
+
+
+def start_cdc_upsert_job(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> list[StreamingQuery]:
+    """Job 2: CDC validate -> per-batch winner dedup -> dim Type-1 upsert."""
+    trigger = trigger or {"availableNow": True}
+    parsed = annotate_cdc_errors(parse_cdc_records(source))
+    valid, invalid = (
+        parsed.filter(F.col("error_code").isNull()),
+        parsed.filter(F.col("error_code").isNotNull()),
+    )
+    dim_path = os.path.join(out_dir, "dim_videos")
+
+    def upsert_dim(batch_df: DataFrame, batch_id: int) -> None:
+        dims = serving.dim_videos(batch_df)
+        _merge_overwrite(
+            spark,
+            dims,
+            dim_path,
+            key_cols=["video_id"],
+            order_cols=["source_ts_ms"],
+        )
+
+    dim_q = (
+        valid.writeStream.foreachBatch(upsert_dim)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "dim"))
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+    invalid_q = (
+        invalid_projection(invalid)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "invalid_events_cdc_videos"))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cdc_invalid"))
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+    return [dim_q, invalid_q]
