@@ -1,0 +1,116 @@
+"""Physical table layout (S8): DDL builders + partitioned-parquet writers.
+
+The reference's layout decisions (rt_content_events_aggregator_sql.py:73-125,
+rt_video_cdc_upsert_sql.py:43-76) are THE scale levers, re-expressed here:
+
+| table                | reference layout                      | here        |
+|----------------------|---------------------------------------|-------------|
+| bronze.raw_events    | partition hours(event_timestamp)      | event_hour  |
+| gold 1-min fact      | days(window_start), bucket(16, vid)   | window_day + bucket col |
+| dims.dim_videos      | bucket(16, video_id), merge-on-read   | bucket col  |
+| quarantine tables    | append-only, no partitioning          | plain       |
+
+Why this matters at 100 TB: hour/day partitions turn every bounded BI query
+(anchored interval, P13) into partition pruning; bucketing by video_id
+co-locates MERGE keys so upserts and per-video windows shuffle 1/16th of
+the data or nothing. On Delta/Iceberg the same DDL carries partition
+transforms natively; on plain parquet we materialize the transform columns
+and partition the directory layout by them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 16
+
+
+def ddl_statements(catalog: str = "spark_catalog", fmt: str = "delta") -> dict[str, str]:
+    """CREATE TABLE IF NOT EXISTS statements for lakehouse deployments.
+
+    ``fmt``: delta | iceberg — iceberg keeps the bucket transform; delta
+    documents the analog (liquid clustering / Z-order on video_id).
+    """
+    bucket_clause = (
+        f", bucket({N_BUCKETS}, video_id)" if fmt == "iceberg" else ""
+    )
+    return {
+        "bronze.raw_events": f"""
+CREATE TABLE IF NOT EXISTS {catalog}.bronze.raw_events (
+  event_id STRING, event_timestamp TIMESTAMP, video_id STRING,
+  user_id STRING, event_type STRING, schema_version STRING, payload STRING,
+  source_topic STRING, source_partition INT, source_offset BIGINT,
+  ingested_at TIMESTAMP)
+USING {fmt}
+PARTITIONED BY (hours(event_timestamp))
+""",
+        "bronze.invalid_events_content": f"""
+CREATE TABLE IF NOT EXISTS {catalog}.bronze.invalid_events_content (
+  invalid_event_id STRING, raw_value STRING, source_topic STRING,
+  source_partition INT, source_offset BIGINT, schema_version STRING,
+  error_code STRING, error_reason STRING, ingested_at TIMESTAMP)
+USING {fmt}
+""",
+        "gold.rt_video_stats_1min": f"""
+CREATE TABLE IF NOT EXISTS {catalog}.gold.rt_video_stats_1min (
+  video_id STRING, window_start TIMESTAMP, window_end TIMESTAMP,
+  impressions BIGINT, play_start BIGINT, play_finish BIGINT, likes BIGINT,
+  shares BIGINT, skips BIGINT, watch_time_sum_ms BIGINT,
+  processed_at TIMESTAMP)
+USING {fmt}
+PARTITIONED BY (days(window_start){bucket_clause})
+""",
+        "dims.dim_videos": f"""
+CREATE TABLE IF NOT EXISTS {catalog}.dims.dim_videos (
+  video_id STRING, category STRING, region STRING, upload_time TIMESTAMP,
+  status STRING, updated_at TIMESTAMP, source_ts_ms BIGINT)
+USING {fmt}
+{f'PARTITIONED BY (bucket({N_BUCKETS}, video_id))' if fmt == 'iceberg' else ''}
+TBLPROPERTIES ('write.merge.mode'='merge-on-read')
+""",
+    }
+
+
+def with_bucket(df: DataFrame, key: str, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Materialized bucket transform for plain-parquet layouts.
+
+    pmod(xxhash64(key), n) — uniform, deterministic; the partition column
+    plain parquet needs to emulate bucket(n, key) pruning.
+    """
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def write_bronze(df: DataFrame, path: str) -> None:
+    """Append-only bronze: hour-partitioned, sorted within partitions for
+    file clustering (pre-write sort, §4)."""
+    (
+        df.withColumn("event_hour", F.date_trunc("hour", F.col("event_timestamp")))
+        .sortWithinPartitions("event_timestamp", "video_id")
+        .write.mode("append")
+        .partitionBy("event_hour")
+        .parquet(path)
+    )
+
+
+def write_gold(df: DataFrame, path: str) -> None:
+    """Gold fact: day partitions + bucket column (pruning + co-location)."""
+    (
+        with_bucket(df, "video_id")
+        .withColumn("window_day", F.to_date(F.col("window_start")))
+        .sortWithinPartitions("video_id", "window_start")
+        .write.mode("overwrite")
+        .partitionBy("window_day", "bucket")
+        .parquet(path)
+    )
+
+
+def write_dim(df: DataFrame, path: str) -> None:
+    (
+        with_bucket(df, "video_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
