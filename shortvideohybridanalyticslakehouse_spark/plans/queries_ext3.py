@@ -1,0 +1,184 @@
+"""Extension queries, round 2: rolling-hash document fingerprinting,
+sessionization (the reference's deferred M2 scope), and the action-queue
+cooldown semantics (D8) — each with a DuckDB oracle.
+
+Scale notes per query in the docstrings; shared determinism rules as in
+plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.functions import text
+from shortvideohybridanalyticslakehouse_spark.operators.dedup import latest_per_key
+from shortvideohybridanalyticslakehouse_spark.operators.queue import enqueue
+from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (Rabin-Karp polynomial hash)
+# ---------------------------------------------------------------------------
+
+# h = fold(tokens, h*B + tokval mod P); B=131, P=1e9+7 keeps every
+# intermediate < 2^63 on both engines (no overflow-semantics divergence).
+_ROLLING_HASH_ORACLE = r"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_'']+')) AS BIGINT)
+    AS n_word_tokens,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
+    (a, b) -> (a * 131 + b) % 1000000007) AS rolling_hash
+FROM documents
+"""
+
+
+@register("doc_rolling_hash", _ROLLING_HASH_ORACLE)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash over the token stream + BPE-ish
+    regex token count — the order-sensitive content fingerprint (md5 exact
+    dedup is order-insensitive after normalization; this one is not).
+
+    Narrow per-row higher-order-function expression: zero shuffle, fully
+    pipelined into the scan, trivially parallel at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    tok_vals = F.transform(
+        text.tokens(c),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
+    )
+    rolling = F.aggregate(
+        tok_vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * F.lit(131) + v) % F.lit(1000000007),
+    )
+    return docs.select(
+        "doc_id",
+        text.word_token_count(c).cast("bigint").alias("n_word_tokens"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute-gap session windows (T9 / M2 scope)
+# ---------------------------------------------------------------------------
+
+# Spark session_window semantics: an event extends the session iff it starts
+# strictly before last_ts + gap; session_end = last_ts + gap. The oracle's
+# gap-and-island LAG formulation uses >= for the new-session test to match.
+_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+@register("user_sessions", _SESSIONS_ORACLE)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: sessionization with a 30-minute inactivity gap via the native
+    ``session_window`` aggregation (state-store-backed in streaming; a
+    single keyed shuffle + sort in batch — no self-join, no LAG chain).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Action-queue cooldown (D8) over the events fixture
+# ---------------------------------------------------------------------------
+
+_QUEUE_COOLDOWN_ORACLE = """
+WITH cand AS (
+  SELECT
+    user_id AS video_id,
+    date_trunc('minute', ts) AS window_start,
+    CASE event_type WHEN 'purchase' THEN 'RESCUE'
+                    WHEN 'signup'   THEN 'REVIEW'
+                    ELSE 'BOOST' END AS decision_type,
+    ts AS created_at,
+    row_number() OVER (
+      PARTITION BY user_id, date_trunc('minute', ts)
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_type IN ('purchase', 'signup', 'click')
+), cooled AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY video_id, CAST(floor(epoch(window_start) / 3600) AS BIGINT)
+    ORDER BY CASE decision_type WHEN 'RESCUE' THEN 1
+                                WHEN 'REVIEW' THEN 2 ELSE 3 END ASC,
+             created_at DESC, window_start DESC) AS rn2
+  FROM cand WHERE rn = 1
+)
+SELECT video_id, window_start, decision_type
+FROM cooled WHERE rn2 = 1
+"""
+
+
+@register("action_queue_cooldown", _QUEUE_COOLDOWN_ORACLE)
+def q_action_queue_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: queue dedupe + 60-min cooldown with urgency precedence
+    (RESCUE > REVIEW > BOOST), driven through operators.queue.enqueue.
+
+    Fixture mapping: user_id plays video_id; purchase/signup/click map to
+    RESCUE/REVIEW/BOOST candidates at 1-minute grain. Both row_number
+    passes shuffle once on the video key — bucketable at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mapped = ev.filter(
+        F.col("event_type").isin("purchase", "signup", "click")
+    ).select(
+        F.col("user_id").alias("video_id"),
+        F.date_trunc("minute", F.col("ts")).alias("window_start"),
+        F.when(F.col("event_type") == "purchase", F.lit("RESCUE"))
+        .when(F.col("event_type") == "signup", F.lit("REVIEW"))
+        .otherwise(F.lit("BOOST"))
+        .alias("decision_type"),
+        F.col("ts").alias("created_at"),
+        "event_id",
+    )
+    cand = latest_per_key(
+        mapped,
+        ["video_id", "window_start"],
+        ["created_at", "event_id"],
+        descending=True,
+    ).drop("event_id")
+    return enqueue(None, cand, cooldown_minutes=60).select(
+        "video_id", "window_start", "decision_type"
+    )

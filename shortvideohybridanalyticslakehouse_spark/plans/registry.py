@@ -26,6 +26,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from shortvideohybridanalyticslakehouse_spark.plans import (  # noqa: F401
         queries,
         queries_ext,
+        queries_ext3,
     )
 
     return REGISTRY
