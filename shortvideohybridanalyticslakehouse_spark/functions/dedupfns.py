@@ -10,9 +10,11 @@ Scale design (the 100 TB story):
 - Exact n-gram Jaccard: explode distinct shingles and equi-join on shingle —
   at corpus scale you run it only on LSH candidates (candidate_pairs ->
   verify), which this module supports by composing the two.
-- MinHash trick for cross-engine determinism: hash_i(shingle) =
-  md5(i || '|' || shingle), minimum taken LEXICOGRAPHICALLY over the hex
-  strings. Identical in any engine with a standard md5 — no platform hash.
+- MinHash trick for cross-engine determinism: ONE md5 per shingle gives a
+  30-bit base value; the k hash functions are affine transforms
+  h_i(s) = (A_i * base(s) + B_i) mod P over it. One expensive hash per
+  shingle instead of k — 16x less md5 work — and every constant is public
+  arithmetic both engines compute bit-identically.
 """
 
 from __future__ import annotations
@@ -23,6 +25,12 @@ from pyspark.sql import functions as F
 DEFAULT_SHINGLE_K = 3
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_SIZE = 4  # 16 hashes -> 4 bands of 4
+
+# Affine MinHash constants: P prime ~2^30 keeps (A_i * base + B_i) < 2^48 —
+# no 64-bit overflow-semantics divergence between engines.
+MINHASH_P = 1_000_000_007
+MINHASH_A_STEP = 7919
+MINHASH_B_STEP = 104_729
 
 
 def shingles(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
@@ -38,23 +46,51 @@ def shingles(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature(
-    shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES
-) -> Column:
-    """MinHash signature: array of hex-string minima, one per hash function.
+def shingle_bases(shingle_col: Column) -> Column:
+    """Per-shingle 30-bit base hash: first 15 hex chars of md5 mod P.
 
-    sig[i] = min over shingles s of md5(i || '|' || s). Lexicographic min
-    over uniformly distributed hex strings == min over 128-bit ints.
+    The ONE expensive hash per shingle; every MinHash function derives from
+    it by cheap affine arithmetic.
+    """
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MINHASH_P),
+    )
+
+
+def minhash_from_bases(
+    bases_col: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """MinHash signature from precomputed base hashes (array<bigint>).
+
+    sig[i] = min over shingles s of (A_i * base(s) + B_i) mod P.
+    Callers should MATERIALIZE the bases into a column first (withColumn)
+    so the md5 work runs once per row, not once per hash function.
     """
     minima = []
     for i in range(num_hashes):
-        # bind the seed OUTSIDE the lambda: a two-arg lambda (e.g. `i=i`
-        # default) would be interpreted by F.transform as (element, index)
-        prefix = F.lit(f"{i}|")
+        # bind constants OUTSIDE the lambda: a two-arg lambda would be
+        # interpreted by F.transform as (element, index)
+        a = F.lit(MINHASH_A_STEP * i + 1)
+        b = F.lit(MINHASH_B_STEP * i)
         minima.append(
-            F.array_min(F.transform(shingle_col, lambda s: F.md5(F.concat(prefix, s))))
+            F.array_min(
+                F.transform(bases_col, lambda h: (a * h + b) % F.lit(MINHASH_P))
+            )
         )
     return F.array(*minima)
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """MinHash signature (array<bigint>) straight from a shingle column.
+
+    Convenience form; prefer with_minhash which materializes the base
+    hashes so md5 is evaluated once per shingle.
+    """
+    return minhash_from_bases(shingle_bases(shingle_col), num_hashes)
 
 
 def with_minhash(
@@ -64,7 +100,11 @@ def with_minhash(
     num_hashes: int = DEFAULT_NUM_HASHES,
     out_col: str = "minhash",
 ) -> DataFrame:
-    return df.withColumn(out_col, minhash_signature(shingles(F.col(text_col), k), num_hashes))
+    return (
+        df.withColumn("_mh_bases", shingle_bases(shingles(F.col(text_col), k)))
+        .withColumn(out_col, minhash_from_bases(F.col("_mh_bases"), num_hashes))
+        .drop("_mh_bases")
+    )
 
 
 def lsh_bands(

@@ -117,6 +117,52 @@ def decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(batches, DECODE_STATS_SCHEMA)
 
 
+def resize(
+    df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize plumbing: binary-in -> binary-out transform over mapInPandas.
+
+    Real codecs would decode, resample, re-encode; the stub emits a
+    deterministic surrogate payload (sha256 of payload + target dims) with
+    the typed metadata updated to the target dimensions — the exact schema
+    contract a real resize kernel must satisfy.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media", MEDIA_META_STRUCT),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dims = target_width.to_bytes(4, "big") + target_height.to_bytes(4, "big")
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf["payload"].map(
+                        lambda p: hashlib.sha256(bytes(p) + dims).digest()
+                    ),
+                    "media": [
+                        {
+                            "media_type": "image/fake",
+                            "width": target_width,
+                            "height": target_height,
+                            "duration_ms": None,
+                            "sample_rate": None,
+                        }
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     every_ms: int = 1000,

@@ -43,9 +43,8 @@ def rolling_range_sums(
         .orderBy(F.col(ts_col).cast("long"))
         .rangeBetween(-(minutes - 1) * 60, 0)
     )
-    out = df
-    for c in sum_cols:
-        out = out.withColumn(f"{c}{suffix}", F.sum(F.col(c)).over(w))
-    for c in max_cols:
-        out = out.withColumn(f"max_{c}{suffix}", F.max(F.col(c)).over(w))
-    return out
+    # one select => ONE Window node (and one sort); sequential withColumn
+    # can leave N Window+Sort pairs in the physical plan
+    new_cols = [F.sum(F.col(c)).over(w).alias(f"{c}{suffix}") for c in sum_cols]
+    new_cols += [F.max(F.col(c)).over(w).alias(f"max_{c}{suffix}") for c in max_cols]
+    return df.select("*", *new_cols)

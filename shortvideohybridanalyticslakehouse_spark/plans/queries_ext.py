@@ -189,7 +189,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At corpus scale this runs on LSH candidates only; here the full corpus
     is the candidate set (shingle equi-join, not doc x doc).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
     pairs = dedupfns.exact_jaccard_pairs(docs, "doc_id", "text", k=3)
     return (
         pairs.withColumn("jaccard", F.round(F.col("jaccard"), 6))
@@ -198,28 +198,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of shingle_bases + affine minhash (A_i = 7919i+1, B_i = 104729i).
+_DUCK_BASES = (
+    "list_transform({shs}, s -> "
+    "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1000000007)"
+)
+
 _MINHASH_ORACLE = rf"""
 WITH sh AS (
   SELECT doc_id, {_duck_shingles(2)} AS shs FROM documents
+), bases AS (
+  SELECT doc_id, {_DUCK_BASES.format(shs='shs')} AS hs FROM sh
 )
 SELECT
   doc_id,
-  list_min(list_transform(shs, s -> md5('0|' || s))) AS sig_0,
-  list_min(list_transform(shs, s -> md5('5|' || s))) AS sig_5,
-  list_min(list_transform(shs, s -> md5('10|' || s))) AS sig_10,
-  list_min(list_transform(shs, s -> md5('15|' || s))) AS sig_15
-FROM sh
+  list_min(list_transform(hs, h -> (1 * h + 0) % 1000000007)) AS sig_0,
+  list_min(list_transform(hs, h -> (39596 * h + 523645) % 1000000007)) AS sig_5,
+  list_min(list_transform(hs, h -> (79191 * h + 1047290) % 1000000007)) AS sig_10,
+  list_min(list_transform(hs, h -> (118786 * h + 1570935) % 1000000007)) AS sig_15
+FROM bases
 """
 
 
 @register("minhash_signatures", _MINHASH_ORACLE)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature spot-check columns (md5-min trick, 2-gram shingles)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = dedupfns.minhash_signature(
-        dedupfns.shingles(F.col("text"), 2), num_hashes=16
-    )
-    df = docs.select("doc_id", sig.alias("sig"))
+    """MinHash signature spot-check columns (one md5 per shingle + affine
+    derived hash family, 2-gram shingles)."""
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    df = dedupfns.with_minhash(docs, "text", k=2, num_hashes=16, out_col="sig")
     return df.select(
         "doc_id",
         F.element_at("sig", 1).alias("sig_0"),
@@ -232,14 +238,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIRS_ORACLE = rf"""
 WITH sh AS (
   SELECT doc_id, {_duck_shingles(2)} AS shs FROM documents
+), bases AS (
+  SELECT doc_id, {_DUCK_BASES.format(shs='shs')} AS hs FROM sh
 ), sig AS (
   SELECT doc_id,
     list_transform(range(0, 16),
-      i -> list_min(list_transform(shs, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
-  FROM sh
+      i -> list_min(list_transform(hs,
+        h -> ((7919 * i + 1) * h + 104729 * i) % 1000000007))) AS sig
+  FROM bases
 ), banded AS (
   SELECT doc_id, sig, b AS band_id,
-         md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS band_hash
+         md5(CAST(sig[2*b + 1] AS VARCHAR) || '|'
+             || CAST(sig[2*b + 2] AS VARCHAR)) AS band_hash
   FROM sig, range(0, 8) AS t(b)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -261,10 +271,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle ∝ docs x bands (not docs²); md5 band hashes are skew-free.
     16 hashes, 8 bands of 2 (fixture-tuned for recall on a tiny vocab).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    with_sig = docs.select("doc_id", F.col("text")).withColumn(
-        "minhash",
-        dedupfns.minhash_signature(dedupfns.shingles(F.col("text"), 2), 16),
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    with_sig = dedupfns.with_minhash(
+        docs.select("doc_id", "text"), "text", k=2, num_hashes=16, out_col="minhash"
     )
     pairs = dedupfns.minhash_candidate_pairs(
         with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
@@ -291,7 +300,7 @@ FROM t
 @register("simhash_fingerprints", _SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (near-dup hamming space)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
     return docs.select(
         "doc_id", dedupfns.simhash64(F.col("text")).alias("simhash")
     )
@@ -322,7 +331,7 @@ LIMIT 20
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 closest doc pairs in SimHash hamming space."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
     f = docs.select("doc_id", dedupfns.simhash64(F.col("text")).alias("simhash"))
     a = f.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = f.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
@@ -424,7 +433,7 @@ LIMIT 20
 @register("embedding_pairs_topk", _PAIRS_TOPK_ORACLE)
 def q_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-20 all-pairs cosine (blocked by LSH at scale)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
     return similarity.pairwise_cosine_topk(emb, k_pairs=20)
 
 
@@ -453,5 +462,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from shortvideohybridanalyticslakehouse_spark.functions import multimodal
 
+    # no repartition here: the pandas work is trivial per row, so Python
+    # worker fan-out costs more than it buys at fixture scale
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_stats(multimodal.attach_binary_payload(docs))

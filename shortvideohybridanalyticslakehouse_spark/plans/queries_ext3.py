@@ -46,7 +46,7 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow per-row higher-order-function expression: zero shuffle, fully
     pipelined into the scan, trivially parallel at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
     c = F.col("text")
     tok_vals = F.transform(
         text.tokens(c),

@@ -33,13 +33,34 @@ TPCH_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, ensure_parallelism: bool = False
+) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-precision parquet timestamp read as long (see session.py);
         # truncate to Spark's native microsecond precision — identical to
         # what DuckDB does when reading TIMESTAMP_NS, so oracles agree.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ensure_min_parallelism(df) if ensure_parallelism else df
+
+
+def ensure_min_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Small-input guard for CPU-heavy narrow pipelines.
+
+    A table small enough to arrive as one scan partition serializes every
+    downstream per-row computation onto one core. Repartition up to the
+    session's default parallelism ONLY in that case — at real scale the scan
+    already has >= cores partitions and this is a no-op (no shuffle added).
+    The round-robin repartition costs one tiny shuffle of the small input and
+    buys cores× on the hash/HOF-heavy transforms above it.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
