@@ -182,3 +182,80 @@ def q_action_queue_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enqueue(None, cand, cooldown_minutes=60).select(
         "video_id", "window_start", "decision_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# BI health trend (A7) + governed baseline publish shape (A11/S11)
+# ---------------------------------------------------------------------------
+
+_HEALTH_TREND_ORACLE = """
+WITH agg AS (
+  SELECT
+    user_id, date_trunc('minute', ts) AS metric_minute,
+    count(*) FILTER (WHERE event_type = 'view') AS impressions,
+    sum(CAST(value AS DECIMAL(18,2))) AS value_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  metric_minute,
+  CAST(count(*) AS BIGINT) AS reporting_users,
+  CAST(avg(impressions) AS DOUBLE) AS avg_impressions,
+  CAST(sum(value_dec) AS DOUBLE) AS value_total
+FROM agg GROUP BY 1
+"""
+
+
+@register("platform_health_trend", _HEALTH_TREND_ORACLE)
+def q_platform_health_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-minute platform-wide averages over the 1-minute grain — the
+    Metabase health-trend query shape (two chained partial-agg shuffles;
+    second input is already minute-grain so it stays small at any scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("metric_minute")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("impressions"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+    )
+    return agg.groupBy("metric_minute").agg(
+        F.count(F.lit(1)).alias("reporting_users"),
+        F.avg(F.col("impressions").cast("double")).alias("avg_impressions"),
+        F.sum("value_dec").cast("double").alias("value_total"),
+    )
+
+
+_BASELINE_PUBLISH_ORACLE = """
+SELECT 'rule_v1' AS rule_version, 'value' AS metric_name,
+       0.90 AS percentile, round(quantile_cont(value, 0.90), 6) AS value,
+       CAST(count(*) AS BIGINT) AS sample_size, TRUE AS is_global
+FROM events
+UNION ALL
+SELECT 'rule_v1', 'value', 0.40, round(quantile_cont(value, 0.40), 6),
+       CAST(count(*) AS BIGINT), TRUE
+FROM events
+"""
+
+
+@register("quantile_baselines_publish", _BASELINE_PUBLISH_ORACLE)
+def q_quantile_baselines_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/S11: governed quantile-baseline rows in the reference's published
+    schema (rule_version + metric_name + percentile + value + sample_size +
+    cohort flag), computed live instead of offline T+1. The idempotent-
+    insert guard is the left-anti join exercised by anti_join_unsold_parts.
+
+    Also the engine's one UNION (§2.7): two 1-row aggregates unioned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def row(pct: float) -> DataFrame:
+        return ev.agg(
+            F.lit("rule_v1").alias("rule_version"),
+            F.lit("value").alias("metric_name"),
+            F.lit(pct).alias("percentile"),
+            F.round(F.expr(f"percentile(value, {pct}D)"), 6).alias("value"),
+            F.count(F.lit(1)).alias("sample_size"),
+            F.lit(True).alias("is_global"),
+        )
+
+    return row(0.90).unionByName(row(0.40))
