@@ -154,3 +154,63 @@ def _md5_hex(s: str) -> str:
     import hashlib
 
     return hashlib.md5(s.encode()).hexdigest()
+
+
+def plane_signs(n_planes: int = 16, dim: int = 64) -> list[list[int]]:
+    """The deterministic hyperplane sign matrix (shared with SQL oracles)."""
+    return [
+        [1 if int(_md5_hex(f"{p}|{d}")[0], 16) % 2 == 1 else -1 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    n_planes: int = 16,
+    band_size: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked embedding pairs: same sketch band in >=1 of the bands.
+
+    The scale path for embedding near-dup: shuffle ∝ vectors x n_bands on
+    uniformly distributed band keys (never vectors²); exact cosine runs on
+    candidates only. Recall tunes with band_size (smaller bands = higher
+    recall, more candidates).
+    """
+    n_bands = n_planes // band_size
+    sketched = corpus.select(
+        F.col(id_col), F.col(vec_col), hyperplane_sketch(F.col(vec_col), n_planes).alias("_sk")
+    )
+    mask = (1 << band_size) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("_sk"), b * band_size)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sketched.select(
+        id_col, vec_col, F.explode(bands).alias("band")
+    ).select(id_col, vec_col, "band.band_id", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -259,3 +259,70 @@ def q_quantile_baselines_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(0.90).unionByName(row(0.40))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed embedding near-dup (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+def _lsh_oracle() -> str:
+    """DuckDB twin of hyperplane_sketch + banded candidate join + cosine."""
+    from shortvideohybridanalyticslakehouse_spark.functions import similarity
+
+    signs = similarity.plane_signs(16, 64)
+    bit_terms = " + ".join(
+        "CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(map(str, s))}])[i])) > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p, s in enumerate(signs)
+    )
+    cos = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH sk AS (
+  SELECT vec_id, embedding, CAST({bit_terms} AS BIGINT) AS sketch
+  FROM embeddings
+), banded AS (
+  SELECT vec_id, embedding, b AS band_id, (sketch >> (4 * b)) & 15 AS band_val
+  FROM sk, range(0, 4) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cosine_sim
+FROM pairs
+ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+
+@register("embedding_lsh_topk", _lsh_oracle())
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH-blocked near-dup pairs + exact cosine top-20.
+
+    The embedding analog of MinHash-LSH: shuffle ∝ vectors x 4 bands on
+    uniform 4-bit band keys — never vectors² — then exact cosine on the
+    candidate set only.
+    """
+    from shortvideohybridanalyticslakehouse_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
+    cand = similarity.lsh_candidate_pairs(emb, n_planes=16, band_size=4)
+    scored = cand.withColumn(
+        "cosine_sim",
+        F.round(similarity.cosine(F.col("vec_a"), F.col("vec_b")), 6),
+    )
+    return (
+        scored.orderBy(
+            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(20)
+        .select("id_a", "id_b", "cosine_sim")
+    )
