@@ -43,6 +43,30 @@ def main() -> None:
     spark = get_spark("svh-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # One-time session warmup (JVM JIT, codegen compiler, Python worker pool,
+    # parquet reader init) so the first measured query isn't charged for
+    # machinery every later query gets for free. Touches no benchmark table.
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window
+
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).agg(
+        F.sum("id")
+    ).collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).collect()
+    wdf = spark.range(1_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    # the measurement action itself (to_json + xxhash64 reduction)
+    wdf.select(F.sum(F.xxhash64(F.to_json(F.struct("k", "v"))))).collect()
+    # ObjectHashAggregate (percentile) and WindowExec class paths
+    wdf.groupBy("k").agg(F.expr("percentile(v, 0.5D)")).collect()
+    wdf.select(
+        F.sum("v").over(Window.partitionBy("k").orderBy("v")).alias("s")
+    ).collect()
+
     names = [n for n in HEADLINE if n in REGISTRY]
     names += [n for n in REGISTRY if n not in names]
 

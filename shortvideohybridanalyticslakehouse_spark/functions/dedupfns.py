@@ -247,3 +247,79 @@ def simhash64(col: Column, prefix_hex: int = 15) -> Column:
 def hamming_distance64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Explode + codegen-aggregate forms (the fast path)
+#
+# Spark evaluates higher-order-function lambdas INTERPRETED, element by
+# element; groupBy().agg() runs whole-stage-codegen'd JVM code. For
+# signature computation over many small arrays, exploding to rows and
+# aggregating is several times faster AND is the shape that scales: the
+# explode is map-side, the aggregation gets map-side partial combine, and
+# the shuffled payload is (id, hash) pairs, not documents.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """(id, minhash array<bigint>) via explode + 16 codegen min-aggregates.
+
+    Same values as with_minhash (min over the same shingle multiset).
+    """
+    ex = df.select(id_col, F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+    base = (
+        F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MINHASH_P)
+    )
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A_STEP * i + 1) * base + F.lit(MINHASH_B_STEP * i))
+            % F.lit(MINHASH_P)
+        ).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(out_col)
+    )
+
+
+def simhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_hex: int = 15,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash bigint) via explode + 60 codegen bit-count aggregates.
+
+    Same values as simhash64: bit b set iff more distinct-token hashes have
+    bit b set than unset.
+    """
+    n_bits = prefix_hex * 4
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ex = df.select(id_col, F.explode(toks).alias("_tok"))
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, prefix_hex), 16, 10).cast(
+        "bigint"
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(n_bits)
+    ]
+    counts = ex.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(n_bits):
+        term = (
+            F.when(F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(2**b))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return counts.select(id_col, fp.alias(out_col))

@@ -225,7 +225,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature spot-check columns (one md5 per shingle + affine
     derived hash family, 2-gram shingles)."""
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
-    df = dedupfns.with_minhash(docs, "text", k=2, num_hashes=16, out_col="sig")
+    df = dedupfns.minhash_signatures_df(docs, "doc_id", "text", k=2, num_hashes=16, out_col="sig")
     return df.select(
         "doc_id",
         F.element_at("sig", 1).alias("sig_0"),
@@ -272,8 +272,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 hashes, 8 bands of 2 (fixture-tuned for recall on a tiny vocab).
     """
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
-    with_sig = dedupfns.with_minhash(
-        docs.select("doc_id", "text"), "text", k=2, num_hashes=16, out_col="minhash"
+    with_sig = dedupfns.minhash_signatures_df(
+        docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
     )
     pairs = dedupfns.minhash_candidate_pairs(
         with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
@@ -301,9 +301,7 @@ FROM t
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (near-dup hamming space)."""
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
-    return docs.select(
-        "doc_id", dedupfns.simhash64(F.col("text")).alias("simhash")
-    )
+    return dedupfns.simhash_df(docs, "doc_id", "text")
 
 
 @register(
@@ -332,7 +330,12 @@ LIMIT 20
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 closest doc pairs in SimHash hamming space."""
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
-    f = docs.select("doc_id", dedupfns.simhash64(F.col("text")).alias("simhash"))
+    # explicit repartition: the aggregate output is tiny, so AQE would
+    # coalesce it to one partition — serializing the nested-loop pair join
+    # onto one core. The streamed side of an all-pairs join must stay wide.
+    f = dedupfns.simhash_df(docs, "doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     a = f.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = f.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
