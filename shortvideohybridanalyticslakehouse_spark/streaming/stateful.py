@@ -1,0 +1,72 @@
+"""Custom stateful streaming operator via applyInPandasWithState (D8 in
+streaming form): cross-micro-batch action cooldown suppression.
+
+The batch engine enforces the queue cooldown with a window over the full
+table (operators/queue.py:enqueue). In streaming, the "have I emitted an
+action for this video in the last N minutes" fact must survive across
+micro-batches — that is per-key mutable state, exactly what
+``applyInPandasWithState`` provides: Arrow-batched per-key pandas groups
+plus a typed GroupState row persisted in the state store.
+
+Scale: state is one BIGINT per video key, partitioned by the groupBy hash —
+the state store shards across executors and checkpoints incrementally.
+Input rows carry epoch seconds (computed engine-side) so the pandas code
+does integer arithmetic only — no timezone semantics in Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "video_id string, decision_type string, created_epoch bigint"
+STATE_SCHEMA = "last_emit_epoch bigint"
+
+
+def cooldown_suppress(
+    candidates: DataFrame, cooldown_minutes: int = 60
+) -> DataFrame:
+    """Emit at most one action per video per cooldown span, across batches.
+
+    Input (streaming or batch-in-stream): ``video_id``, ``decision_type``
+    and a ``created_at`` timestamp (converted to epoch seconds here).
+    Within a batch, rows process in created_at order; an action is emitted
+    iff no action for that video was emitted in the previous
+    ``cooldown_minutes`` (including emissions from earlier micro-batches).
+    """
+    gap = cooldown_minutes * 60
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            ["created_epoch", "decision_type"]
+        )
+        keep = []
+        for row in rows.itertuples(index=False):
+            if last is None or row.created_epoch - last >= gap:
+                keep.append(row)
+                last = int(row.created_epoch)
+        if last is not None:
+            state.update((last,))
+        if keep:
+            yield pd.DataFrame(keep, columns=list(rows.columns))
+
+    prepared = candidates.select(
+        "video_id",
+        "decision_type",
+        F.col("created_at").cast("long").alias("created_epoch"),
+    )
+    return prepared.groupBy("video_id").applyInPandasWithState(
+        fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

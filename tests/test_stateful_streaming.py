@@ -1,0 +1,71 @@
+"""applyInPandasWithState cooldown: state must persist across micro-batches."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.streaming import jobs, stateful
+
+
+def _write(path: str, rows: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    # the file source orders micro-batches by modification time; pin it so
+    # batch order is deterministic
+    os.utime(path, (mtime, mtime))
+
+
+def test_cooldown_state_survives_micro_batches(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "in")
+    os.makedirs(src)
+    # batch 1: first action for vid_1 at t0 -> emit
+    _write(
+        os.path.join(src, "part-0000.jsonl"),
+        [{"video_id": "vid_1", "decision_type": "BOOST", "t": "2026-01-01 00:05:00"}],
+        mtime=1_700_000_000,
+    )
+    # batch 2 (separate file => separate micro-batch with maxFilesPerTrigger=1):
+    # +10 min -> suppressed by state from batch 1; +70 min -> emitted;
+    # vid_2 first action -> emitted
+    _write(
+        os.path.join(src, "part-0001.jsonl"),
+        [
+            {"video_id": "vid_1", "decision_type": "RESCUE", "t": "2026-01-01 00:15:00"},
+            {"video_id": "vid_1", "decision_type": "REVIEW", "t": "2026-01-01 01:15:00"},
+            {"video_id": "vid_2", "decision_type": "BOOST", "t": "2026-01-01 00:20:00"},
+        ],
+        mtime=1_700_000_060,
+    )
+
+    raw = jobs.read_json_file_stream(spark, src, max_files_per_trigger=1)
+    parsed = raw.select(
+        F.get_json_object("raw_value", "$.video_id").alias("video_id"),
+        F.get_json_object("raw_value", "$.decision_type").alias("decision_type"),
+        F.to_timestamp(F.get_json_object("raw_value", "$.t")).alias("created_at"),
+    )
+    out = stateful.cooldown_suppress(parsed, cooldown_minutes=60)
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cooldown_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.video_id, r.decision_type)
+        for r in spark.sql("SELECT * FROM cooldown_out").collect()
+    }
+    assert got == {
+        ("vid_1", "BOOST"),   # batch 1, first emit
+        ("vid_1", "REVIEW"),  # batch 2, beyond cooldown
+        ("vid_2", "BOOST"),   # batch 2, different key
+    }
