@@ -1,0 +1,55 @@
+"""Physical layout: DDL builders and partitioned-parquet writers (S6/S8)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.plans import ddl
+
+
+def test_ddl_statements_carry_partition_transforms():
+    stmts = ddl.ddl_statements(fmt="iceberg")
+    assert "PARTITIONED BY (hours(event_timestamp))" in stmts["bronze.raw_events"]
+    assert "days(window_start)" in stmts["gold.rt_video_stats_1min"]
+    assert "bucket(16, video_id)" in stmts["gold.rt_video_stats_1min"]
+    assert "merge-on-read" in stmts["dims.dim_videos"]
+    # delta variant drops the bucket transform (documented analog)
+    assert "bucket(" not in ddl.ddl_statements(fmt="delta")["gold.rt_video_stats_1min"]
+
+
+def test_write_gold_layout_and_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("vid_1", "2026-01-01 00:05:00", 10),
+            ("vid_2", "2026-01-02 00:05:00", 20),
+        ],
+        "video_id string, window_start string, impressions int",
+    ).withColumn("window_start", F.to_timestamp("window_start"))
+    path = os.path.join(str(tmp_path), "gold")
+    ddl.write_gold(df, path)
+
+    days = sorted(d for d in os.listdir(path) if d.startswith("window_day="))
+    assert days == ["window_day=2026-01-01", "window_day=2026-01-02"]
+    assert any(
+        d.startswith("bucket=") for d in os.listdir(os.path.join(path, days[0]))
+    )
+
+    back = spark.read.parquet(path)
+    got = {(r.video_id, r.impressions) for r in back.collect()}
+    assert got == {("vid_1", 10), ("vid_2", 20)}
+    # the bucket column is pmod(xxhash64(video_id), 16): deterministic, in range
+    assert all(0 <= r.bucket < 16 for r in back.select("bucket").collect())
+
+
+def test_write_bronze_hour_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("e1", "2026-01-01 03:05:00", "vid_1"), ("e2", "2026-01-01 04:10:00", "vid_1")],
+        "event_id string, event_timestamp string, video_id string",
+    ).withColumn("event_timestamp", F.to_timestamp("event_timestamp"))
+    path = os.path.join(str(tmp_path), "bronze")
+    ddl.write_bronze(df, path)
+    hours = sorted(d for d in os.listdir(path) if d.startswith("event_hour="))
+    assert len(hours) == 2
+    assert spark.read.parquet(path).count() == 2
