@@ -191,13 +191,24 @@ def exact_jaccard_pairs(
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
-    exploded = sh.select(id_col, "sh_size", F.explode("sh").alias("shingle"))
+    # join on a 60-bit hash of the shingle, not the string: the shuffle
+    # carries 8-byte keys and the join compares longs (collision odds for a
+    # corpus-scale shingle set are ~|shingles|^2 / 2^61 — negligible, and
+    # the oracle hashes identically so both engines agree).
+    shingle_h = F.conv(
+        F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
+    ).cast("bigint")
+    exploded = (
+        sh.select(id_col, "sh_size", F.explode("sh").alias("shingle"))
+        .withColumn("shingle_h", shingle_h)
+        .drop("shingle")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(

@@ -166,12 +166,14 @@ WITH sh AS (
 ), sized AS (
   SELECT doc_id, shs, len(shs) AS sh_size FROM sh
 ), ex AS (
-  SELECT doc_id, sh_size, unnest(shs) AS shingle FROM sized
+  SELECT doc_id, sh_size,
+         CAST(('0x' || substr(md5(unnest(shs)), 1, 15)) AS BIGINT) AS shingle_h
+  FROM sized
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sh_size AS size_a, b.sh_size AS size_b,
          CAST(count(*) AS BIGINT) AS n_inter
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM ex a JOIN ex b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,
