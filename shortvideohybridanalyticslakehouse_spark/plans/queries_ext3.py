@@ -430,3 +430,60 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation: realtime (1-min incremental) vs T+1 batch recompute (A12)
+# ---------------------------------------------------------------------------
+
+_RECONCILIATION_ORACLE = """
+WITH rt AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), rt_day AS (
+  SELECT user_id, date_trunc('day', m) AS d, CAST(sum(n) AS BIGINT) AS rt_n
+  FROM rt GROUP BY 1, 2
+), batch_day AS (
+  SELECT user_id, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS batch_n
+  FROM events GROUP BY 1, 2
+)
+SELECT d,
+  CAST(count(*) AS BIGINT) AS keys,
+  round(quantile_cont(
+    abs(rt_n - batch_n) / greatest(CAST(batch_n AS DOUBLE), 100.0), 0.95), 6)
+    AS p95_rel_err,
+  CAST(count(*) FILTER (WHERE rt_n = batch_n) AS BIGINT) AS exact_matches
+FROM rt_day JOIN batch_day USING (user_id, d)
+GROUP BY d
+"""
+
+
+@register("reconciliation_rt_vs_batch", _RECONCILIATION_ORACLE)
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: the reference's daily reconciliation gate — roll the realtime
+    1-minute incremental fact up to day grain and compare against a direct
+    T+1 batch recompute; report p95 relative error per day (SLO: <= 0.08)
+    and exact-match counts. Here both paths read the same immutable fixture
+    so the error is structurally zero — the assertion the gate encodes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rt = (
+        ev.groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id", F.date_trunc("day", F.col("m")).alias("d"))
+        .agg(F.sum("n").alias("rt_n"))
+    )
+    batch = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("batch_n")
+    )
+    joined = rt.join(batch, ["user_id", "d"])
+    rel_err = F.abs(F.col("rt_n") - F.col("batch_n")) / F.greatest(
+        F.col("batch_n").cast("double"), F.lit(100.0)
+    )
+    return joined.groupBy("d").agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.round(F.expr(
+            "percentile(abs(rt_n - batch_n) / greatest(cast(batch_n as double), 100.0D), 0.95D)"
+        ), 6).alias("p95_rel_err"),
+        F.count(F.when(F.col("rt_n") == F.col("batch_n"), 1)).alias("exact_matches"),
+    )

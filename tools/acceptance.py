@@ -1,0 +1,109 @@
+"""End-to-end acceptance run (CLI twin of the reference's acceptance
+shell harness, src/scripts/run_mic38_acceptance.sh): deterministic
+generator -> validate/split -> serving layers -> verifier sign-off ->
+BI gate pack, printed as one JSON report.
+
+Usage:
+    python tools/acceptance.py [--events 20000] [--seed 7]
+Exit code 0 iff every gate passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=20_000)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    from shortvideohybridanalyticslakehouse_spark.generator import (
+        BoundedRun,
+        GeneratorConfig,
+    )
+    from shortvideohybridanalyticslakehouse_spark.operators.validate import (
+        annotate_cdc_errors,
+        annotate_content_errors,
+        parse_cdc_records,
+        parse_content_events,
+        split_valid_invalid,
+    )
+    from shortvideohybridanalyticslakehouse_spark.plans import bi, serving, verifiers
+    from shortvideohybridanalyticslakehouse_spark.session import get_spark
+    from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+        jsonl_fixture_to_raw,
+    )
+
+    spark = get_spark("svh-acceptance")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    run = BoundedRun(
+        GeneratorConfig(
+            total_events=args.events, events_per_second=50.0, seed=args.seed
+        )
+    )
+    ev_raw = jsonl_fixture_to_raw(
+        spark.createDataFrame(run.content_events(), ["value"])
+    )
+    cdc_raw = jsonl_fixture_to_raw(
+        spark.createDataFrame(run.cdc_records(), ["value"])
+    )
+
+    valid_ev, invalid_ev = split_valid_invalid(
+        annotate_content_errors(parse_content_events(ev_raw))
+    )
+    valid_cdc, invalid_cdc = split_valid_invalid(
+        annotate_cdc_errors(parse_cdc_records(cdc_raw))
+    )
+
+    layers = serving.build_all(valid_ev, valid_cdc)
+    serving.register_views(spark, layers)
+
+    gold = layers["gold_1min"]
+    checks = {
+        "gold_grain_unique": verifiers.grain_unique(
+            gold, ["video_id", "window_start"]
+        ),
+        "gold_non_negative": verifiers.non_negative(
+            gold,
+            ["impressions", "play_start", "play_finish", "likes", "shares", "skips"],
+        ),
+        "gold_no_null_required": verifiers.no_null_required(
+            gold, ["video_id", "window_start"]
+        ),
+        "content_invalid_rate": verifiers.invalid_rate_bounded(
+            valid_ev, invalid_ev, max_rate=0.20
+        ),
+        "cdc_invalid_rate": verifiers.invalid_rate_bounded(
+            valid_cdc, invalid_cdc, max_rate=0.20
+        ),
+    }
+    report = verifiers.signoff(checks)
+    gates = bi.acceptance_gates(spark)
+
+    ok = bool(report["_overall"]["passed"]) and all(gates.values())
+    print(
+        json.dumps(
+            {
+                "passed": ok,
+                "events": args.events,
+                "seed": args.seed,
+                "verifier_signoff": report,
+                "bi_gates": gates,
+            },
+            default=str,
+        )
+    )
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
