@@ -195,11 +195,14 @@ def lsh_candidate_pairs(
         ]
     )
     banded = sketched.select(
-        id_col, vec_col, F.explode(bands).alias("band")
-    ).select(id_col, vec_col, "band.band_id", "band.band_val")
+        id_col, F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_val")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    # dedupe candidate (id_a, id_b) pairs BEFORE attaching vectors: the
+    # dropDuplicates shuffle then carries 16 bytes/row instead of two
+    # embeddings (|candidates| >> |corpus|, so vectors join back cheaper)
+    ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -209,8 +212,20 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("vec_a"),
-            F.col(f"b.{vec_col}").alias("vec_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    return (
+        ids.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+            ),
+            "id_a",
+        ).join(
+            vecs.select(
+                F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+            ),
+            "id_b",
+        )
     )

@@ -487,3 +487,70 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), 6).alias("p95_rel_err"),
         F.count(F.when(F.col("rt_n") == F.col("batch_n"), 1)).alias("exact_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-per-group and ROLLUP (capability beyond the reference's inventory)
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(rank() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+@register("topk_orders_per_customer", _TOPK_PER_GROUP_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via rank(): the per-group top-k pattern
+    (one keyed shuffle + in-partition sort; never a global sort)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT
+  coalesce(l_returnflag, '__total__') AS returnflag,
+  coalesce(l_linestatus, '__total__') AS linestatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_lineitem_status", _ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag -> flag+status -> grand total) in one
+    pass — Spark expands grouping sets inside a single partial-aggregated
+    shuffle instead of three scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_sum"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("__total__")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("__total__")).alias("linestatus"),
+            "n",
+            "qty_sum",
+        )
+    )
