@@ -25,9 +25,18 @@ REGISTRY = load_all()
 
 def _ensure_confs(spark: SparkSession) -> SparkSession:
     # The driver may hand us a vanilla session; pin the confs the engine
-    # depends on (UTC event-time semantics, ns-timestamp parquet reads).
+    # depends on (UTC event-time semantics, ns-timestamp parquet reads) and
+    # the runtime-settable performance confs (a vanilla session defaults to
+    # 200 shuffle partitions — far too many tasks at fixture scale — and
+    # AQE settings the plans assume; all are session-conf safe to set).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 4)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark
 
 

@@ -554,3 +554,47 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT (§2.7 — beyond the reference's UNION)
+# ---------------------------------------------------------------------------
+
+_SET_OPS_ORACLE = """
+WITH early AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < DATE '1995-01-01'
+), late AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+)
+SELECT 'churned' AS cohort, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+UNION ALL
+SELECT 'retained', CAST(count(*) AS BIGINT)
+FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+"""
+
+
+@register("customer_cohort_set_ops", _SET_OPS_ORACLE)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/INTERSECT cohort split (churned vs retained buyers across a
+    date boundary). Both compile to hash aggregates + left-anti/left-semi
+    joins — one shuffle each on the key, no sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    churned = early.exceptAll(late).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("churned").alias("cohort"), "n"
+    )
+    retained = early.intersect(late).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("retained").alias("cohort"), "n"
+    )
+    return churned.unionByName(retained)
