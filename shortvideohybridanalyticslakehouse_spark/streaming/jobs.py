@@ -67,6 +67,48 @@ def read_json_file_stream(
     )
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    group_id_prefix: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S2 production source: Kafka topic -> raw_value + lineage columns.
+
+    Exposes the same schema as read_json_file_stream, so every downstream
+    plan (parse -> validate -> split -> window agg -> MERGE) is identical
+    in production and batch-replay mode. Requires the
+    spark-sql-kafka connector on the classpath (not present in this test
+    container — exercised in deployment, covered here by the file-source
+    twin).
+
+    Keyed-by-video_id topics preserve per-video order within a partition;
+    (partition, offset) is the contract tie-break
+    (ref: docs/architecture/messaging/kafka-topic-schema-retention-contract-m1.md:82-88).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if group_id_prefix:
+        reader = reader.option("groupIdPrefix", group_id_prefix)
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
+    return raw.select(
+        F.col("value").cast("string").alias("raw_value"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("kafka_timestamp"),
+    )
+
+
 def _merge_overwrite(
     spark: SparkSession,
     batch_df: DataFrame,
