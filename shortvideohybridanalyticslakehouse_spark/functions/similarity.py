@@ -121,6 +121,52 @@ def pairwise_cosine_topk(
     )
 
 
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer (pyspark.ml KMeans) instead of a
+    precomputed label: fit centroids, assign every vector, search only the
+    query's cell.
+
+    The production shape: train once offline, write cluster ids into the
+    table (partition/bucket by them), and the per-query filter becomes
+    partition pruning. Training cost is one pass over a sample; assignment
+    is a narrow map. Not oracle-checked (k-means|| initialization is not
+    SQL-reproducible) — correctness is asserted by recall-vs-brute-force
+    tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    featured = corpus.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        featuresCol="_features", k=n_clusters, seed=seed, maxIter=10
+    ).fit(featured)
+    assigned = model.transform(featured).withColumnRenamed("prediction", "_cell")
+    query = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec"), F.col("_cell").alias("_query_cell")
+    )
+    cell = assigned.filter(F.col(id_col) != query_id).join(
+        F.broadcast(query), F.col("_cell") == F.col("_query_cell")
+    )
+    scored = cell.withColumn(
+        "cosine_sim", F.round(cosine(F.col(vec_col), F.col("query_vec")), 6)
+    )
+    return (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cosine_sim")
+    )
+
+
 def hyperplane_sketch(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH sign sketch as a BIGINT (deterministic planes).
 

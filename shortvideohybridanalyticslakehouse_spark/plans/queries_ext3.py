@@ -598,3 +598,16 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("retained").alias("cohort"), "n"
     )
     return churned.unionByName(retained)
+
+
+@register("embedding_kmeans_ivf_topk", None)  # trained quantizer: rows-only check
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a TRAINED coarse quantizer (pyspark.ml KMeans): fit
+    centroids, assign cells, search only the query's cell. k-means||
+    initialization is not SQL-reproducible, so no DuckDB oracle — recall
+    against brute force is asserted in tests/test_kmeans_ivf.py.
+    """
+    from shortvideohybridanalyticslakehouse_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
+    return similarity.kmeans_ivf_topk(emb, query_id=0, k=10)
