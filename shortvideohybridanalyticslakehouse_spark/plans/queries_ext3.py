@@ -611,3 +611,86 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
     return similarity.kmeans_ivf_topk(emb, query_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# PIVOT and LAG/LEAD families
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT
+  user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY user_id
+"""
+
+
+@register("pivot_event_type_counts", _PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-values pivot: per-user event-type count matrix. With pinned
+    pivot values Spark compiles this to one pass of conditional aggregates
+    — exactly the oracle's FILTER form, no second value-discovery job.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combinations; the FILTER form yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
+
+
+_LAG_GAP_ORACLE = """
+WITH g AS (
+  SELECT
+    user_id, event_id, ts,
+    lag(ts)  OVER w AS prev_ts,
+    lead(ts) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT
+  user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)) AS BIGINT) AS max_gap_s,
+  CAST(min(CAST(floor(epoch(next_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS min_gap_s,
+  CAST(count(*) FILTER (
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800) AS BIGINT)
+    AS session_breaks
+FROM g GROUP BY user_id
+"""
+
+
+@register("event_gap_analysis", _LAG_GAP_ORACLE)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD inter-event gaps per user (the reference's deferred M2
+    LAG-stitching shape): max/min gaps and 30-minute session-break counts.
+    One keyed shuffle + sort shared by both window functions.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.lag(F.col("ts").cast("long")).over(w).alias("prev_s"),
+        F.lead(F.col("ts").cast("long")).over(w).alias("next_s"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.col("ts_s") - F.col("prev_s")).alias("max_gap_s"),
+        F.min(F.col("next_s") - F.col("ts_s")).alias("min_gap_s"),
+        F.count(F.when(F.col("ts_s") - F.col("prev_s") > 1800, 1)).alias(
+            "session_breaks"
+        ),
+    )
