@@ -49,3 +49,22 @@ def test_frame_sample_grain(spark):
     assert per_doc[1] == [0]          # 11 "ms" -> one frame
     assert per_doc[2] == [0, 1000, 2000]  # 3000 "ms" -> three frames
     assert len({r.frame_checksum for r in frames}) == len(frames)
+
+
+def test_resize_schema_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another payload")], "doc_id long, text string"
+    )
+    out = multimodal.resize(
+        multimodal.attach_binary_payload(docs), target_width=128, target_height=96
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        # stub payload is a sha256 digest; metadata carries the target dims
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 32
+        assert r.media.width == 128 and r.media.height == 96
+        assert r.media.media_type == "image/fake"
+    # deterministic: same input -> same surrogate payload
+    again = {r.doc_id: r.payload for r in out.collect()}
+    assert {k: v.payload for k, v in rows.items()} == again
