@@ -694,3 +694,33 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_breaks"
         ),
     )
+
+
+_SUPPLIER_BALANCE_ORACLE = """
+SELECT
+  n.n_name AS nation_name,
+  CAST(count(*) AS BIGINT) AS suppliers,
+  CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_total,
+  CAST(count(*) FILTER (WHERE s.s_acctbal < 0) AS BIGINT) AS in_debt
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+@register("supplier_balance_by_nation", _SUPPLIER_BALANCE_ORACLE)
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance rollup per nation (broadcast dim join +
+    exact-decimal aggregation) — covers the last fixture table."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("acctbal_total"),
+            F.count(F.when(F.col("s_acctbal") < 0, 1)).alias("in_debt"),
+        )
+    )
