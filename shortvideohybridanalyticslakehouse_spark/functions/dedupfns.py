@@ -334,3 +334,49 @@ def simhash_df(
         )
         fp = term if fp is None else fp + term
     return counts.select(id_col, fp.alias(out_col))
+
+
+def verify_candidate_jaccard(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Exact Jaccard restricted to candidate (doc_a, doc_b) pairs.
+
+    The verify stage of the LSH pipeline: shingles explode once, then two
+    equi-joins pin each exploded side to the candidate list before the
+    intersection count — work scales with |candidates| x shingles-per-doc.
+    """
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    shingle_h = F.conv(
+        F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
+    ).cast("bigint")
+    ex = (
+        sh.select(id_col, "sh_size", F.explode("sh").alias("shingle"))
+        .withColumn("shingle_h", shingle_h)
+        .drop("shingle")
+    )
+    a = ex.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sh_size").alias("size_a"),
+        F.col("shingle_h").alias("h_a"),
+    )
+    b = ex.select(
+        F.col(id_col).alias("_b_id"),
+        F.col("sh_size").alias("size_b"),
+        F.col("shingle_h").alias("h_b"),
+    )
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_b_id")) & (F.col("h_a") == F.col("h_b")))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    ).cast("double")
+    return inter.withColumn("jaccard", jac).select("doc_a", "doc_b", "jaccard")

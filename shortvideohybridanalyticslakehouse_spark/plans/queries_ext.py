@@ -471,3 +471,63 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # worker fan-out costs more than it buys at fixture scale
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_stats(multimodal.attach_binary_payload(docs))
+
+
+_LSH_VERIFIED_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles(2)} AS shs FROM documents
+), bases AS (
+  SELECT doc_id, {_DUCK_BASES.format(shs='shs')} AS hs FROM sh
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(hs,
+        h -> ((7919 * i + 1) * h + 104729 * i) % 1000000007))) AS sig
+  FROM bases
+), banded AS (
+  SELECT doc_id, b AS band_id,
+         md5(CAST(sig[2*b + 1] AS VARCHAR) || '|'
+             || CAST(sig[2*b + 2] AS VARCHAR)) AS band_hash
+  FROM sig, range(0, 8) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), ex AS (
+  SELECT doc_id, len(shs) AS sh_size,
+         CAST(('0x' || substr(md5(unnest(shs)), 1, 15)) AS BIGINT) AS shingle_h
+  FROM sh
+), inter AS (
+  SELECT c.doc_a, c.doc_b, a.sh_size AS size_a, b.sh_size AS size_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.shingle_h = a.shingle_h
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(size_a + size_b - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+WHERE n_inter / CAST(size_a + size_b - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@register("near_dup_lsh_verified", _LSH_VERIFIED_ORACLE)
+def q_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup pipeline: MinHash-LSH candidate generation
+    followed by exact Jaccard verification on candidates only, thresholded
+    at 0.5. Exact-verify cost scales with |candidates| (LSH-bounded), never
+    |docs|² — the composition the standalone queries document.
+    """
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    with_sig = dedupfns.minhash_signatures_df(
+        docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
+    )
+    cand = dedupfns.minhash_candidate_pairs(
+        with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
+    ).select("doc_a", "doc_b")
+    verified = dedupfns.verify_candidate_jaccard(docs, cand, "doc_id", "text", k=2)
+    return verified.filter(F.col("jaccard") >= 0.5).withColumn(
+        "jaccard", F.round(F.col("jaccard"), 6)
+    )
