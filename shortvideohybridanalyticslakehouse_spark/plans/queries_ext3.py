@@ -724,3 +724,30 @@ def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("s_acctbal") < 0, 1)).alias("in_debt"),
         )
     )
+
+
+_GROUPED_PCTL_ORACLE = """
+SELECT
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(quantile_cont(value, 0.50), 6) AS p50,
+  round(quantile_cont(value, 0.90), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("value_percentiles_by_type", _GROUPED_PCTL_ORACLE)
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11 grouped form: exact interpolated percentiles per event type
+    (ObjectHashAggregate per group; swap percentile_approx at 100 TB —
+    t-digest sketches merge map-side, exact percentile buffers values).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.50D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )

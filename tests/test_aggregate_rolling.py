@@ -83,3 +83,16 @@ def test_duplicate_key_groups_and_null_profile(spark):
     assert len(dups) == 1 and dups[0].dup_count == 2
     prof = null_profile(df, ["s", "k"]).first()
     assert prof.row_count == 3 and prof.null_s == 1 and prof.null_k == 0
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """A4 scale path: HLL++ sketch distinct must land within its rsd bound
+    (exact distinct buffers values; the sketch merges map-side at 100 TB)."""
+    from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact <= 0.05
