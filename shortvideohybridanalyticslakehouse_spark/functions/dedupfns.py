@@ -33,6 +33,16 @@ MINHASH_A_STEP = 7919
 MINHASH_B_STEP = 104_729
 
 
+def hash60(col: Column) -> Column:
+    """60-bit cross-engine hash: first 15 hex chars of md5 as BIGINT.
+
+    THE determinism contract shared with every DuckDB oracle
+    (CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) — change it here and
+    in the oracles together, never in one place.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def shingles(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     """Distinct k-token shingles of lowercased whitespace-tokenized text.
 
@@ -52,11 +62,7 @@ def shingle_bases(shingle_col: Column) -> Column:
     The ONE expensive hash per shingle; every MinHash function derives from
     it by cheap affine arithmetic.
     """
-    return F.transform(
-        shingle_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        % F.lit(MINHASH_P),
-    )
+    return F.transform(shingle_col, lambda s: hash60(s) % F.lit(MINHASH_P))
 
 
 def minhash_from_bases(
@@ -195,12 +201,9 @@ def exact_jaccard_pairs(
     # carries 8-byte keys and the join compares longs (collision odds for a
     # corpus-scale shingle set are ~|shingles|^2 / 2^61 — negligible, and
     # the oracle hashes identically so both engines agree).
-    shingle_h = F.conv(
-        F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
-    ).cast("bigint")
     exploded = (
         sh.select(id_col, "sh_size", F.explode("sh").alias("shingle"))
-        .withColumn("shingle_h", shingle_h)
+        .withColumn("shingle_h", hash60(F.col("shingle")))
         .drop("shingle")
     )
     a = exploded.alias("a")
@@ -284,11 +287,12 @@ def minhash_signatures_df(
 
     Same values as with_minhash (min over the same shingle multiset).
     """
-    ex = df.select(id_col, F.explode(shingles(F.col(text_col), k)).alias("_sh"))
-    base = (
-        F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10).cast("bigint")
-        % F.lit(MINHASH_P)
+    # explode_outer: a NULL text yields a NULL shingle array; plain explode
+    # would DROP the row, while the DuckDB oracles keep it (NULL signature)
+    ex = df.select(
+        id_col, F.explode_outer(shingles(F.col(text_col), k)).alias("_sh")
     )
+    base = hash60(F.col("_sh")) % F.lit(MINHASH_P)
     aggs = [
         F.min(
             (F.lit(MINHASH_A_STEP * i + 1) * base + F.lit(MINHASH_B_STEP * i))
@@ -316,7 +320,7 @@ def simhash_df(
     """
     n_bits = prefix_hex * 4
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    ex = df.select(id_col, F.explode(toks).alias("_tok"))
+    ex = df.select(id_col, F.explode_outer(toks).alias("_tok"))
     h = F.conv(F.substring(F.md5(F.col("_tok")), 1, prefix_hex), 16, 10).cast(
         "bigint"
     )
@@ -352,12 +356,9 @@ def verify_candidate_jaccard(
     sh = docs.select(
         F.col(id_col), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
-    shingle_h = F.conv(
-        F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
-    ).cast("bigint")
     ex = (
         sh.select(id_col, "sh_size", F.explode("sh").alias("shingle"))
-        .withColumn("shingle_h", shingle_h)
+        .withColumn("shingle_h", hash60(F.col("shingle")))
         .drop("shingle")
     )
     a = ex.select(

@@ -23,11 +23,14 @@ from pyspark.sql import functions as F
 from shortvideohybridanalyticslakehouse_spark import contracts as C
 
 def _urgency():
-    # urgency rank: lower = more urgent (RESCUE first)
+    # urgency rank: lower = more urgent (RESCUE first); out-of-domain rows
+    # rank LAST — without the otherwise() a stray decision_type would get
+    # NULL, and NULLs sort first under asc(), beating genuine actions
     return (
         F.when(F.col("decision_type") == C.DECISION_RESCUE, 1)
         .when(F.col("decision_type") == C.DECISION_REVIEW, 2)
         .when(F.col("decision_type") == C.DECISION_BOOST, 3)
+        .otherwise(4)
     )
 
 VALID_TRANSITIONS: dict[str, tuple[str, ...]] = {
@@ -47,36 +50,58 @@ def enqueue(
 ) -> DataFrame:
     """Merge new action candidates into the queue with dedupe + cooldown.
 
-    1. dedupe key (video_id, window_start): existing queue rows win
-       (idempotent replay — re-emitting the same decision is a no-op);
-    2. cooldown: within any ``cooldown_minutes`` span per video keep one
-       action — most urgent, ties -> latest created_at.
+    1. dedupe key (video_id, window_start): existing queue rows win by an
+       explicit provenance rank — NOT by created_at, which can tie when
+       both sides stamp the same batch timestamp (idempotent replay:
+       re-emitting the same decision never replaces the queue row or its
+       state);
+    2. cooldown: one action per video per ``cooldown_minutes`` CALENDAR
+       bucket (floor(window_start / cooldown)) — most urgent wins, ties ->
+       latest created_at. Calendar buckets keep the operator a pure window
+       function (scalable, deterministic); the rolling-gap variant of the
+       spec lives in streaming/stateful.py:cooldown_suppress. Rows already
+       past PENDING (acked/executing/terminal) are never evicted — they
+       also suppress new candidates in their bucket.
     """
-    combined = (
-        candidates
-        if queue is None
-        else queue.select(*candidates.columns).unionByName(candidates)
-    )
-    # 1. idempotent dedupe on the action identity
+    if queue is None:
+        combined = candidates.withColumn("_src", F.lit(1))
+    else:
+        combined = (
+            queue.select(*candidates.columns)
+            .withColumn("_src", F.lit(0))
+            .unionByName(candidates.withColumn("_src", F.lit(1)))
+        )
+    # 1. idempotent dedupe on the action identity: queue provenance first
     w_identity = Window.partitionBy("video_id", "window_start").orderBy(
-        F.col("created_at").asc()
+        F.col("_src").asc(), F.col("created_at").asc()
     )
     deduped = (
         combined.withColumn("_rn", F.row_number().over(w_identity))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # 2. cooldown bucket per video: floor(window_start / cooldown)
+    # 2. cooldown bucket per video: floor(window_start / cooldown).
+    # In-flight/terminal rows are protected: they sort first (so they
+    # suppress PENDING candidates sharing their bucket) and are always kept.
+    state = (
+        F.col("state")
+        if "state" in candidates.columns
+        else F.lit(C.ACTION_STATE_PENDING)
+    )
+    protected = state != C.ACTION_STATE_PENDING
     bucket = F.floor(
         F.col("window_start").cast("long") / F.lit(cooldown_minutes * 60)
     )
     w_cooldown = Window.partitionBy("video_id", bucket).orderBy(
-        _urgency().asc(), F.col("created_at").desc(), F.col("window_start").desc()
+        protected.desc(),
+        _urgency().asc(),
+        F.col("created_at").desc(),
+        F.col("window_start").desc(),
     )
     return (
         deduped.withColumn("_rn", F.row_number().over(w_cooldown))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .filter(protected | (F.col("_rn") == 1))
+        .drop("_rn", "_src")
     )
 
 
@@ -95,7 +120,11 @@ def cas_transition(
     if new_state not in VALID_TRANSITIONS.get(expected_state, ()):
         return queue
     tagged = queue.join(
-        F.broadcast(action_ids.select("action_id").withColumn("_hit", F.lit(True))),
+        F.broadcast(
+            action_ids.select("action_id")
+            .distinct()  # redelivered acks must not multiply queue rows
+            .withColumn("_hit", F.lit(True))
+        ),
         "action_id",
         "left",
     )

@@ -29,11 +29,36 @@ N_BUCKETS = 16
 def ddl_statements(catalog: str = "spark_catalog", fmt: str = "delta") -> dict[str, str]:
     """CREATE TABLE IF NOT EXISTS statements for lakehouse deployments.
 
-    ``fmt``: delta | iceberg — iceberg keeps the bucket transform; delta
-    documents the analog (liquid clustering / Z-order on video_id).
+    ``fmt``: iceberg uses native partition TRANSFORMS (hours/days/bucket);
+    delta does NOT support transform functions in PARTITIONED BY, so the
+    delta variant materializes the transform as a GENERATED ALWAYS AS
+    column and partitions on it (bucket has no delta analog — use liquid
+    clustering / Z-order on video_id instead).
     """
-    bucket_clause = (
-        f", bucket({N_BUCKETS}, video_id)" if fmt == "iceberg" else ""
+    iceberg = fmt == "iceberg"
+    bronze_part = (
+        "PARTITIONED BY (hours(event_timestamp))"
+        if iceberg
+        else "PARTITIONED BY (event_hour)"
+    )
+    bronze_gen = (
+        ""
+        if iceberg
+        else ",\n  event_hour TIMESTAMP GENERATED ALWAYS AS "
+        "(date_trunc('HOUR', event_timestamp))"
+    )
+    gold_part = (
+        f"PARTITIONED BY (days(window_start), bucket({N_BUCKETS}, video_id))"
+        if iceberg
+        else "PARTITIONED BY (window_day)"
+    )
+    gold_gen = (
+        ""
+        if iceberg
+        else ",\n  window_day DATE GENERATED ALWAYS AS (CAST(window_start AS DATE))"
+    )
+    dim_part = (
+        f"PARTITIONED BY (bucket({N_BUCKETS}, video_id))" if iceberg else ""
     )
     return {
         "bronze.raw_events": f"""
@@ -41,9 +66,9 @@ CREATE TABLE IF NOT EXISTS {catalog}.bronze.raw_events (
   event_id STRING, event_timestamp TIMESTAMP, video_id STRING,
   user_id STRING, event_type STRING, schema_version STRING, payload STRING,
   source_topic STRING, source_partition INT, source_offset BIGINT,
-  ingested_at TIMESTAMP)
+  ingested_at TIMESTAMP{bronze_gen})
 USING {fmt}
-PARTITIONED BY (hours(event_timestamp))
+{bronze_part}
 """,
         "bronze.invalid_events_content": f"""
 CREATE TABLE IF NOT EXISTS {catalog}.bronze.invalid_events_content (
@@ -57,16 +82,16 @@ CREATE TABLE IF NOT EXISTS {catalog}.gold.rt_video_stats_1min (
   video_id STRING, window_start TIMESTAMP, window_end TIMESTAMP,
   impressions BIGINT, play_start BIGINT, play_finish BIGINT, likes BIGINT,
   shares BIGINT, skips BIGINT, watch_time_sum_ms BIGINT,
-  processed_at TIMESTAMP)
+  processed_at TIMESTAMP{gold_gen})
 USING {fmt}
-PARTITIONED BY (days(window_start){bucket_clause})
+{gold_part}
 """,
         "dims.dim_videos": f"""
 CREATE TABLE IF NOT EXISTS {catalog}.dims.dim_videos (
   video_id STRING, category STRING, region STRING, upload_time TIMESTAMP,
   status STRING, updated_at TIMESTAMP, source_ts_ms BIGINT)
 USING {fmt}
-{f'PARTITIONED BY (bucket({N_BUCKETS}, video_id))' if fmt == 'iceberg' else ''}
+{dim_part}
 TBLPROPERTIES ('write.merge.mode'='merge-on-read')
 """,
     }

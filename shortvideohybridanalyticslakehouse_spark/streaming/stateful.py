@@ -45,9 +45,16 @@ def cooldown_suppress(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
-        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
-            ["created_epoch", "decision_type"]
-        )
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        # chronological greedy; timestamp ties resolved by URGENCY
+        # (RESCUE > REVIEW > BOOST), not alphabetically — sorting by the
+        # raw decision string would put BOOST first and invert the rule
+        urgency = rows["decision_type"].map(
+            {"RESCUE": 1, "REVIEW": 2, "BOOST": 3}
+        ).fillna(4)
+        rows = rows.assign(_urg=urgency).sort_values(
+            ["created_epoch", "_urg"]
+        ).drop(columns="_urg")
         keep = []
         for row in rows.itertuples(index=False):
             if last is None or row.created_epoch - last >= gap:

@@ -15,8 +15,14 @@ def test_ddl_statements_carry_partition_transforms():
     assert "days(window_start)" in stmts["gold.rt_video_stats_1min"]
     assert "bucket(16, video_id)" in stmts["gold.rt_video_stats_1min"]
     assert "merge-on-read" in stmts["dims.dim_videos"]
-    # delta variant drops the bucket transform (documented analog)
-    assert "bucket(" not in ddl.ddl_statements(fmt="delta")["gold.rt_video_stats_1min"]
+    # delta does not support partition transforms: it must materialize
+    # generated columns instead and never emit transform functions
+    delta = ddl.ddl_statements(fmt="delta")
+    assert "bucket(" not in delta["gold.rt_video_stats_1min"]
+    assert "hours(" not in delta["bronze.raw_events"]
+    assert "days(" not in delta["gold.rt_video_stats_1min"]
+    assert "GENERATED ALWAYS AS" in delta["bronze.raw_events"]
+    assert "PARTITIONED BY (window_day)" in delta["gold.rt_video_stats_1min"]
 
 
 def test_write_gold_layout_and_roundtrip(spark, tmp_path):

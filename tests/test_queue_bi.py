@@ -128,3 +128,65 @@ def test_queue_from_decision_context(spark, registered_views):
     bucket = F.floor(F.col("window_start").cast("long") / (60 * 60))
     dups = q.groupBy("video_id", bucket).count().filter(F.col("count") > 1).count()
     assert dups == 0
+
+
+def test_cas_state_mismatch_is_a_noop(spark):
+    """Genuine compare-and-set mismatch: state != expected, transition IS
+    valid per the state machine — the fire predicate itself must refuse."""
+    q = enqueue(
+        None,
+        mk_candidates(spark, [("vid_1", "2026-01-01 00:05:00", C.DECISION_BOOST)]),
+    )
+    ids = q.select("action_id")
+    acked = cas_transition(q, ids, "PENDING", "ACKED")
+    # row is ACKED; PENDING->ACKED is a valid transition but the row's
+    # current state doesn't match expected -> no change
+    again = cas_transition(acked, ids, "PENDING", "ACKED")
+    assert again.first().state == "ACKED"
+    # duplicate action_ids (redelivered acks) must not multiply queue rows
+    dup_ids = ids.unionByName(ids)
+    moved = cas_transition(acked, dup_ids, "ACKED", "EXECUTING")
+    assert moved.count() == 1 and moved.first().state == "EXECUTING"
+
+
+def test_enqueue_protects_in_flight_rows(spark):
+    """A more urgent candidate must not evict an ACKED row; it is
+    suppressed by the cooldown instead."""
+    q = enqueue(
+        None,
+        mk_candidates(spark, [("vid_1", "2026-01-01 00:05:00", C.DECISION_BOOST)]),
+    )
+    acked = cas_transition(q, q.select("action_id"), "PENDING", "ACKED")
+    rescue = mk_candidates(
+        spark, [("vid_1", "2026-01-01 00:07:00", C.DECISION_RESCUE)]
+    )
+    merged = enqueue(acked, rescue, cooldown_minutes=60)
+    rows = merged.collect()
+    assert len(rows) == 1
+    assert rows[0].state == "ACKED" and rows[0].decision_type == C.DECISION_BOOST
+
+
+def test_enqueue_replay_never_resets_state(spark):
+    """Replaying the same candidates after a CAS must keep the queue row
+    (provenance rank), not swap in the fresh PENDING copy."""
+    cand = mk_candidates(
+        spark, [("vid_1", "2026-01-01 00:05:00", C.DECISION_BOOST)]
+    )
+    q = enqueue(None, cand)
+    acked = cas_transition(q, q.select("action_id"), "PENDING", "ACKED")
+    replayed = enqueue(acked, cand, cooldown_minutes=60)
+    assert replayed.count() == 1
+    assert replayed.first().state == "ACKED"
+
+
+def test_urgency_out_of_domain_ranks_last(spark):
+    """A stray decision_type must never beat a genuine action in the
+    cooldown bucket (NULL urgency would sort first under asc)."""
+    bogus = mk_candidates(
+        spark, [("vid_1", "2026-01-01 00:06:00", "NO_ACTION")]
+    )
+    rescue = mk_candidates(
+        spark, [("vid_1", "2026-01-01 00:05:00", C.DECISION_RESCUE)]
+    )
+    merged = enqueue(None, bogus.unionByName(rescue), cooldown_minutes=60)
+    assert merged.first().decision_type == C.DECISION_RESCUE

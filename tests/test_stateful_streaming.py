@@ -69,3 +69,39 @@ def test_cooldown_state_survives_micro_batches(spark, tmp_path):
         ("vid_1", "REVIEW"),  # batch 2, beyond cooldown
         ("vid_2", "BOOST"),   # batch 2, different key
     }
+
+
+def test_cooldown_tie_resolved_by_urgency(spark, tmp_path):
+    """Same-timestamp candidates: RESCUE must win the cooldown slot, not
+    the alphabetically-first decision type."""
+    src = os.path.join(str(tmp_path), "in")
+    os.makedirs(src)
+    _write(
+        os.path.join(src, "part-0000.jsonl"),
+        [
+            {"video_id": "vid_9", "decision_type": "BOOST", "t": "2026-01-01 00:05:00"},
+            {"video_id": "vid_9", "decision_type": "RESCUE", "t": "2026-01-01 00:05:00"},
+        ],
+        mtime=1_700_000_000,
+    )
+    raw = jobs.read_json_file_stream(spark, src)
+    parsed = raw.select(
+        F.get_json_object("raw_value", "$.video_id").alias("video_id"),
+        F.get_json_object("raw_value", "$.decision_type").alias("decision_type"),
+        F.to_timestamp(F.get_json_object("raw_value", "$.t")).alias("created_at"),
+    )
+    out = stateful.cooldown_suppress(parsed, cooldown_minutes=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cooldown_tie")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.video_id, r.decision_type)
+        for r in spark.sql("SELECT * FROM cooldown_tie").collect()
+    ]
+    assert got == [("vid_9", "RESCUE")]
