@@ -88,6 +88,41 @@ def main() -> int:
     report = verifiers.signoff(checks)
     gates = bi.acceptance_gates(spark)
 
+    # M3 action-queue flow: decision context -> suppress NO_ACTION ->
+    # queue rows -> validate -> enqueue with dedupe/cooldown.
+    from pyspark.sql import functions as F
+
+    from shortvideohybridanalyticslakehouse_spark.operators.decision import (
+        queue_rows,
+        suppress_no_action,
+        validate_queue_rows,
+    )
+    from shortvideohybridanalyticslakehouse_spark.operators.queue import enqueue
+
+    latest = layers["decision_context"].select(
+        "video_id",
+        "window_start",
+        F.col("decision_type_preview").alias("decision_type"),
+    )
+    actionable = suppress_no_action(latest)
+    valid_rows, violations = validate_queue_rows(queue_rows(actionable))
+    queue = enqueue(None, valid_rows, cooldown_minutes=60)
+    bucket = F.floor(F.col("window_start").cast("long") / 3600)
+    queue_gates = {
+        "queue_rows_all_valid": violations.count() == 0,
+        "queue_action_id_unique": queue.groupBy("action_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0,
+        "queue_cooldown_respected": queue.groupBy("video_id", bucket)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0,
+    }
+    gates.update(queue_gates)
+
     ok = bool(report["_overall"]["passed"]) and all(gates.values())
     print(
         json.dumps(
