@@ -751,3 +751,46 @@ def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.90D)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
     )
+
+
+_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM h GROUP BY 1
+"""
+
+
+@register("train_val_test_split", _SPLIT_ORACLE)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 dataset split by content-id hash — the
+    reproducible-split primitive every training pipeline needs (same doc
+    lands in the same split on any engine, any partitioning, any rerun;
+    unlike sampleBy/randomSplit which depend on partition layout).
+    """
+    from shortvideohybridanalyticslakehouse_spark.functions.dedupfns import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
