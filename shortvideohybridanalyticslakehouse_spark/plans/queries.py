@@ -335,15 +335,25 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_JOIN_ORACLE = """
 SELECT p_partkey, p_name, p_retailprice
 FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_shipdate > DATE '2001-06-01'
+)
 """
 
 
 @register("anti_join_unsold_parts", _ANTI_JOIN_ORACLE)
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: NOT EXISTS == left-anti join (idempotent-publish pattern)."""
+    """J4: NOT EXISTS == left-anti join (idempotent-publish pattern).
+
+    Parts with no shipment after the cutoff — the recency predicate keeps
+    the result non-empty at every fixture scale (every part has SOME
+    lineitem), so the anti-join path is actually exercised.
+    """
     part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2001-06-01").cast("date")
+    )
     return part.join(
         li, part.p_partkey == li.l_partkey, "left_anti"
     ).select("p_partkey", "p_name", "p_retailprice")
