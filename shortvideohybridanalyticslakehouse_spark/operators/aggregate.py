@@ -108,7 +108,7 @@ def exact_percentiles(
     (bounded output). For 100 TB online paths use ``approx_percentiles``.
     """
     aggs = [
-        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100)}")
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{round(p * 100)}")
         for p in percentiles
     ]
     return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
@@ -123,7 +123,7 @@ def approx_percentiles(
 ) -> DataFrame:
     """Scale path: single-pass mergeable sketch (percentile_approx)."""
     aggs = [
-        F.percentile_approx(F.col(value_col), p, accuracy).alias(f"p{int(p * 100)}")
+        F.percentile_approx(F.col(value_col), p, accuracy).alias(f"p{round(p * 100)}")
         for p in percentiles
     ]
     return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)

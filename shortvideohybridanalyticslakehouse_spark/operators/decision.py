@@ -187,7 +187,20 @@ def validate_queue_rows(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     Checks: required non-null, decision/priority/state domains,
     expires_at > decided_at, non-empty reason_codes.
     """
-    required = ["action_id", "video_id", "window_start", "decision_type", "state"]
+    # every contract column is null-checked: a NULL priority/decided_at/
+    # expires_at/reason_codes would make the later domain predicates NULL
+    # (3-valued logic) and silently skip the when() branch
+    required = [
+        "action_id",
+        "video_id",
+        "window_start",
+        "decision_type",
+        "state",
+        "priority",
+        "decided_at",
+        "expires_at",
+        "reason_codes",
+    ]
     missing = F.concat_ws(
         ",", *[F.when(F.col(c).isNull(), F.lit(c)) for c in required]
     )

@@ -41,8 +41,13 @@ FLAGSHIP_MAX_AGE_MINUTES = 7 * 24 * 60.0  # "young" = first seen within 7 days
 
 
 def events_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2: 1-minute tumbling conditional-count aggregation per user."""
-    ev = load_table(spark, sf_dir, "events")
+    """A1/A2: 1-minute tumbling conditional-count aggregation per user.
+
+    NULL timestamps are filtered EXPLICITLY: Spark's window() drops them
+    silently while SQL GROUP BY date_trunc keeps a NULL group — the filter
+    makes both engines (and both readings of the code) agree.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     t = F.col("event_type")
     return tumbling_window_agg(
         ev,

@@ -27,7 +27,6 @@ from shortvideohybridanalyticslakehouse_spark.operators.aggregate import (
 from shortvideohybridanalyticslakehouse_spark.operators.dedup import latest_per_key
 from shortvideohybridanalyticslakehouse_spark.operators.validate import (
     first_match_case,
-    json_parse_failed,
 )
 from shortvideohybridanalyticslakehouse_spark.plans import pipeline
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
@@ -54,7 +53,7 @@ SELECT
   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS likes,
   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS skips,
   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -77,7 +76,7 @@ WITH agg AS (
     CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS likes,
     CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS skips,
     sum(CAST(value AS DECIMAL(18,2))) AS value_dec
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT
   user_id, window_start, window_end,
@@ -118,7 +117,7 @@ WITH agg AS (
     CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS likes,
     CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS skips,
     sum(CAST(value AS DECIMAL(18,2))) AS value_dec
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), rolled AS (
   SELECT
     user_id, window_start,
@@ -215,7 +214,13 @@ def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("INVALID_EVENT_TYPE"),
             ),
             (
-                F.col("props").isNull() | json_parse_failed(F.col("props"), "k INT"),
+                # json-VALIDITY probe (get_json_object('$') is NULL iff the
+                # text is not parseable JSON) — matches the oracle's
+                # json_valid(); the stricter struct-schema parse
+                # (json_parse_failed) stays on the contract path where the
+                # reference requires it
+                F.col("props").isNull()
+                | F.get_json_object(F.col("props"), "$").isNull(),
                 F.lit("INVALID_PAYLOAD_JSON"),
             ),
         ]

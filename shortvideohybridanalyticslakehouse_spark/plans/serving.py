@@ -14,7 +14,7 @@ reference ("velocity_score removed from physical schema").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark import contracts as C
@@ -39,17 +39,24 @@ def gold_1min(valid_events: DataFrame) -> DataFrame:
     ``valid_events``: output of the validate/split path (typed columns
     event_id/event_timestamp/video_id/event_type/watch_time_ms).
     """
-    t = F.col("event_type")
     return tumbling_window_agg(
         valid_events,
         ts_col="event_timestamp",
         key_cols=["video_id"],
         window_duration=C.TUMBLING_WINDOW,
-        count_conditions={m: t == _etype(m) for m in GOLD_METRICS},
+        count_conditions=gold_count_conditions(),
         sum_exprs={"watch_time_sum_ms": F.col("watch_time_ms")},
         dedup_col="event_id",
         with_processed_at=True,
     )
+
+
+def gold_count_conditions() -> dict[str, Column]:
+    """The contract-locked metric -> event-type conditional counts, shared
+    by the batch (gold_1min) and streaming (jobs.py) gold aggregations so
+    the two plans can never drift apart."""
+    t = F.col("event_type")
+    return {m: t == _etype(m) for m in GOLD_METRICS}
 
 
 def _etype(metric: str) -> str:

@@ -100,9 +100,23 @@ def expected_action_agreement(
         F.col("window_end").alias("exp_window_end"),
         "expected_action",
     )
-    joined = decisions.join(F.broadcast(exp), "video_id", "inner").filter(
-        (F.col("window_start") >= F.col("exp_window_start"))
-        & (F.col("window_start") < F.col("exp_window_end"))
+    # LEFT join from ground truth with the window predicate IN the join
+    # condition: an expected video with zero decision rows in its window
+    # (none at all, or all outside it) keeps one NULL-decision row and
+    # stays in the denominator — an inner join (or post-join filter) would
+    # drop it and inflate the hit rate. Zero in-window rows = a hit only
+    # when the expectation is NO_ACTION.
+    dec = decisions.select(
+        F.col("video_id").alias("dec_video_id"),
+        "window_start",
+        "decision_type_preview",
+    )
+    joined = exp.join(
+        dec,
+        (F.col("video_id") == F.col("dec_video_id"))
+        & (F.col("window_start") >= F.col("exp_window_start"))
+        & (F.col("window_start") < F.col("exp_window_end")),
+        "left",
     )
     # per video: did ANY minute produce the expected action (or, for
     # NO_ACTION expectations, did NO minute produce an actionable one)?

@@ -122,22 +122,34 @@ def _merge_overwrite(
     `_src_rank`), keeps the winner per key, atomically replaces the table
     (write tmp + rename). On Delta/Iceberg: `MERGE INTO` instead.
     """
+    import shutil
+
     batch_df = batch_df.withColumn("_src_rank", F.lit(1))
-    try:
+    # Explicit existence check — a bare try/except around the read would
+    # also swallow REAL read errors (corrupt footer, FS hiccup) and then
+    # silently overwrite the table with just this batch.
+    if os.path.isdir(table_path):
         current = spark.read.parquet(table_path).withColumn("_src_rank", F.lit(0))
         combined = current.unionByName(batch_df)
-    except Exception:
+    else:
         combined = batch_df
     merged = latest_per_key(
         combined, key_cols, order_cols=["_src_rank"] + order_cols
     ).drop("_src_rank")
+    # Write the merged state to a tmp dir, then swap via directory rename —
+    # the unreadable window is two metadata renames, not a full rewrite.
+    # (mode('overwrite') directly on table_path deletes the table before
+    # rewriting it: a crash mid-write loses ALL history.) On Delta/Iceberg
+    # MERGE INTO makes this transactional for real.
     tmp = table_path + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(table_path)
-    import shutil
-
+    old = table_path + "._old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)  # completes before any rename
+    if os.path.isdir(table_path):
+        os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def start_content_events_job(
@@ -181,26 +193,27 @@ def start_content_events_job(
     # foreachBatch MERGE (late windows re-emitted and folded idempotently).
     with_wm = valid.withWatermark("event_timestamp", watermark)
     deduped = with_wm.dropDuplicatesWithinWatermark(["event_id"])
-    gold_stream = (
-        deduped.groupBy(
-            F.window(F.col("event_timestamp"), C.TUMBLING_WINDOW).alias("w"),
-            F.col("video_id"),
-        )
-        .agg(
-            *[
-                F.count(F.when(F.col("event_type") == serving._etype(m), 1)).alias(m)
-                for m in serving.GOLD_METRICS
-            ],
-            F.sum("watch_time_ms").alias("watch_time_sum_ms"),
-        )
-        .select(
-            "video_id",
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            *serving.GOLD_METRICS,
-            "watch_time_sum_ms",
-            F.current_timestamp().alias("processed_at"),
-        )
+    # SAME plan builder as the batch twin (serving.gold_1min) — shared
+    # conditional-count contract, so batch and streaming cannot drift.
+    from shortvideohybridanalyticslakehouse_spark.operators.aggregate import (
+        tumbling_window_agg,
+    )
+
+    gold_stream = tumbling_window_agg(
+        deduped,
+        ts_col="event_timestamp",
+        key_cols=["video_id"],
+        window_duration=C.TUMBLING_WINDOW,
+        count_conditions=serving.gold_count_conditions(),
+        sum_exprs={"watch_time_sum_ms": F.col("watch_time_ms")},
+        with_processed_at=True,
+    ).select(
+        "video_id",
+        "window_start",
+        "window_end",
+        *serving.GOLD_METRICS,
+        "watch_time_sum_ms",
+        "processed_at",
     )
     gold_path = os.path.join(out_dir, "rt_video_stats_1min")
 
