@@ -27,6 +27,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries,
         queries_ext,
         queries_ext3,
+        queries_ext4,
     )
 
     return REGISTRY
