@@ -28,6 +28,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext,
         queries_ext3,
         queries_ext4,
+        queries_ext5,
     )
 
     return REGISTRY
