@@ -29,6 +29,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext3,
         queries_ext4,
         queries_ext5,
+        queries_ext6,
     )
 
     return REGISTRY
