@@ -30,6 +30,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext4,
         queries_ext5,
         queries_ext6,
+        queries_ext7,
     )
 
     return REGISTRY
