@@ -31,6 +31,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext5,
         queries_ext6,
         queries_ext7,
+        queries_ext8,
     )
 
     return REGISTRY
