@@ -32,6 +32,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext6,
         queries_ext7,
         queries_ext8,
+        queries_ext9,
     )
 
     return REGISTRY
