@@ -33,6 +33,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext7,
         queries_ext8,
         queries_ext9,
+        queries_ext10,
     )
 
     return REGISTRY
