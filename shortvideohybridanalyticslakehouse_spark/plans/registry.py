@@ -34,6 +34,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext8,
         queries_ext9,
         queries_ext10,
+        queries_ext11,
     )
 
     return REGISTRY
