@@ -35,6 +35,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext9,
         queries_ext10,
         queries_ext11,
+        queries_ext12,
     )
 
     return REGISTRY

@@ -279,3 +279,77 @@ def start_cdc_upsert_job(
         .start()
     )
     return [dim_q, invalid_q]
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (attribution within an event-time window)
+# ---------------------------------------------------------------------------
+
+
+def interval_attribution_plan(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    window_minutes: int = 10,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream INNER interval join: each purchase is attributed to
+    every click by the same key whose event-time precedes it by at most
+    ``window_minutes``. The canonical Structured Streaming join shape —
+    the range condition on both event-time columns is what lets Spark
+    bound join state: rows older than (watermark + window) are evicted.
+
+    Works identically on batch DataFrames (same logical plan minus the
+    watermark), which is how the oracle checks it. Inputs need columns
+    (key, ts, event_id, value); output one row per attributed pair.
+
+    Reference has no stream-stream joins (SURVEY §2.3 — equi-joins with
+    static dims only); this is extension surface per the Spark-first
+    brief. At scale: one shuffle of each stream on the key; per-key state
+    is bounded by the interval, so executors hold O(rate x window) rows.
+    """
+    lhs, rhs = clicks.alias("c"), purchases.alias("p")
+    if watermark is not None:
+        lhs = clicks.withWatermark("ts", watermark).alias("c")
+        rhs = purchases.withWatermark("ts", watermark).alias("p")
+    cond = (
+        (F.col(f"c.{key}") == F.col(f"p.{key}"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        F.col(f"c.{key}").alias(key),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
+def start_attribution_join_job(
+    spark: SparkSession,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    window_minutes: int = 10,
+    watermark: str = "2 minutes",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Run the interval join as a streaming query appending matched pairs
+    to parquet. Append mode is the only supported output for stream-stream
+    joins; a pair is emitted once both sides' watermarks pass it."""
+    trigger = trigger or {"availableNow": True}
+    joined = interval_attribution_plan(
+        clicks, purchases, key=key, window_minutes=window_minutes, watermark=watermark
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "attributed_pairs"))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "attribution"))
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
