@@ -79,3 +79,28 @@ def q_attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_latency_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized ANN brute force (same oracle as the HOF baseline)
+# ---------------------------------------------------------------------------
+
+from shortvideohybridanalyticslakehouse_spark.functions import similarity  # noqa: E402
+from shortvideohybridanalyticslakehouse_spark.plans.queries_ext import (  # noqa: E402
+    _COSINE_TOPK_ORACLE,
+)
+
+
+@register("embedding_cosine_topk_vectorized", _COSINE_TOPK_ORACLE)
+def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 via the Arrow/numpy mapInPandas path —
+    hash-checked against the SAME DuckDB oracle as the higher-order-
+    function baseline (embedding_cosine_topk), proving the two plans are
+    interchangeable. The vectorized path wins when dims are wide or the
+    per-row expression falls out of codegen (HOF lambdas are interpreted
+    per element); the HOF path wins when Python workers are scarce.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return similarity.cosine_topk_vectorized(corpus, qvec, k=10)

@@ -59,3 +59,32 @@ def test_write_bronze_hour_partitions(spark, tmp_path):
     hours = sorted(d for d in os.listdir(path) if d.startswith("event_hour="))
     assert len(hours) == 2
     assert spark.read.parquet(path).count() == 2
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    # Two tables bucketed identically on the join key must sort-merge-join
+    # with ZERO Exchange operators (the co-located join contract).
+    from shortvideohybridanalyticslakehouse_spark.plans.ddl import write_bucketed_table
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    write_bucketed_table(left, "bkt_left", "k", n_buckets=8)
+    write_bucketed_table(right, "bkt_right", "k", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-locates both sides
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
