@@ -36,6 +36,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext10,
         queries_ext11,
         queries_ext12,
+        queries_ext13,
     )
 
     return REGISTRY
