@@ -37,6 +37,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext11,
         queries_ext12,
         queries_ext13,
+        queries_ext14,
     )
 
     return REGISTRY
