@@ -38,6 +38,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext12,
         queries_ext13,
         queries_ext14,
+        queries_ext15,
     )
 
     return REGISTRY
