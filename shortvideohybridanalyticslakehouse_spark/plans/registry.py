@@ -39,6 +39,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext13,
         queries_ext14,
         queries_ext15,
+        queries_ext16,
     )
 
     return REGISTRY
