@@ -77,3 +77,72 @@ def cooldown_suppress(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API): running per-key totals
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = "video_id string, total_events bigint, last_epoch bigint"
+
+
+class RunningTotalsProcessor:
+    """Per-video lifetime event counter on the Spark 4 `StatefulProcessor`
+    API — the successor to applyInPandasWithState with NAMED typed state
+    variables, native TTL, and timers. State here is two BIGINTs per key
+    in the state store (sharded by the groupBy hash, incrementally
+    checkpointed); each micro-batch emits the key's updated running
+    total, so downstream sees a changelog of lifetime counts.
+
+    Lazy-subclassed because pyspark imports this module's file in Python
+    workers that need no JVM: the class binds StatefulProcessor at
+    construction via __class_getitem__-free simple factory below.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n bigint, last bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        prev = self._totals.get()
+        total = int(prev[0]) if prev else 0
+        last = int(prev[1]) if prev else 0
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            total += int(len(pdf))
+            last = max(last, int(pdf["created_epoch"].max()))
+        self._totals.update((total, last))
+        yield pd.DataFrame(
+            {
+                "video_id": [key[0]],
+                "total_events": [total],
+                "last_epoch": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Changelog of per-video lifetime event totals via
+    ``transformWithStateInPandas`` (update mode, processing-time mode).
+    Input needs ``video_id`` and a ``created_at`` timestamp.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # bind the ABC at call time (keeps module import cheap on workers)
+    proc_cls = type(
+        "_RunningTotals", (RunningTotalsProcessor, StatefulProcessor), {}
+    )
+    prepared = events.select(
+        "video_id", F.col("created_at").cast("long").alias("created_epoch")
+    )
+    return prepared.groupBy("video_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

