@@ -40,6 +40,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext14,
         queries_ext15,
         queries_ext16,
+        queries_ext17,
     )
 
     return REGISTRY
