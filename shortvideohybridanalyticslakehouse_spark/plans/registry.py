@@ -41,6 +41,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext15,
         queries_ext16,
         queries_ext17,
+        queries_ext18,
     )
 
     return REGISTRY
