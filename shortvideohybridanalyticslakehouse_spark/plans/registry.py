@@ -42,6 +42,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext16,
         queries_ext17,
         queries_ext18,
+        queries_ext19,
     )
 
     return REGISTRY
