@@ -43,6 +43,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext17,
         queries_ext18,
         queries_ext19,
+        queries_ext20,
     )
 
     return REGISTRY
