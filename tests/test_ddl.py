@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 from pyspark.sql import functions as F
@@ -88,3 +89,57 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_multi_format_roundtrip_identical_rows(spark, tmp_path):
+    # The engine's data model must survive every batch container format
+    # available in-core (parquet / orc / json / csv): same rows back,
+    # modulo each format's type fidelity (csv/json get explicit schemas
+    # on read — inference is not part of the contract).
+    src = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("name_"), F.col("id")).alias("s"),
+    )
+    expected = sorted((r["k"], r["v"], r["s"]) for r in src.collect())
+    schema = "k bigint, v double, s string"
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"rt_{fmt}")
+        w = src.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt in ("json", "csv"):
+            r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        got = sorted(
+            (x["k"], x["v"], x["s"]) for x in r.load(path).collect()
+        )
+        assert got == expected, f"roundtrip mismatch for {fmt}"
+
+
+def test_bronze_hour_filter_prunes_partitions(spark, tmp_path):
+    # An event_hour predicate on the bronze layout must become a
+    # PartitionFilter (metadata pruning), NOT a data filter: the plan
+    # may not read the other hours' files at all.
+    from shortvideohybridanalyticslakehouse_spark.plans.ddl import write_bronze
+
+    rows = [
+        (f"e{i}", dt.datetime(2026, 1, 1, h, 5, 0), f"vid_{i}")
+        for i, h in enumerate([0, 1, 2, 3])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, event_timestamp timestamp, video_id string"
+    )
+    path = str(tmp_path / "bronze_prune")
+    write_bronze(df, path)
+    read = spark.read.parquet(path).filter(
+        F.col("event_hour") == dt.datetime(2026, 1, 1, 2, 0, 0)
+    )
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_hour" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert read.count() == 1
