@@ -44,6 +44,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext18,
         queries_ext19,
         queries_ext20,
+        queries_ext21,
     )
 
     return REGISTRY
