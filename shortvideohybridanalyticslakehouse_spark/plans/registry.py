@@ -45,6 +45,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext19,
         queries_ext20,
         queries_ext21,
+        queries_ext22,
     )
 
     return REGISTRY

@@ -143,3 +143,30 @@ def test_bronze_hour_filter_prunes_partitions(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert read.count() == 1
+
+
+def test_dynamic_partition_pruning_on_filtered_dim_join(spark, tmp_path):
+    # Joining a day-partitioned fact to a FILTERED dim must inject a
+    # dynamicpruning subquery on the fact's partition column — at scale
+    # this skips every non-qualifying partition at runtime (the join-
+    # driven analog of static partition pruning).
+    fact = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        F.date_add(
+            F.lit("2026-01-01").cast("date"), (F.col("id") % 30).cast("int")
+        ).alias("day"),
+    )
+    fpath = str(tmp_path / "dpp_fact")
+    fact.write.mode("overwrite").partitionBy("day").parquet(fpath)
+    dim_rows = [(f"2026-01-{d:02d}", "keep" if d == 5 else "drop") for d in range(1, 31)]
+    dim = spark.createDataFrame(dim_rows, "day_s string, tag string").select(
+        F.col("day_s").cast("date").alias("day"), "tag"
+    )
+    dpath = str(tmp_path / "dpp_dim")
+    dim.write.mode("overwrite").parquet(dpath)
+    f = spark.read.parquet(fpath)
+    d = spark.read.parquet(dpath).filter(F.col("tag") == "keep")
+    j = f.join(d, "day").groupBy("tag").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.collect()[0]["count"] == 334
