@@ -46,6 +46,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext20,
         queries_ext21,
         queries_ext22,
+        queries_ext23,
     )
 
     return REGISTRY
