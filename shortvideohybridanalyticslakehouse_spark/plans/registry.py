@@ -47,6 +47,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext21,
         queries_ext22,
         queries_ext23,
+        queries_ext24,
     )
 
     return REGISTRY
