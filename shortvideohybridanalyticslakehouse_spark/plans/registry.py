@@ -48,6 +48,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext22,
         queries_ext23,
         queries_ext24,
+        queries_ext25,
     )
 
     return REGISTRY

@@ -42,6 +42,15 @@ def load_table(
         # truncate to Spark's native microsecond precision — identical to
         # what DuckDB does when reading TIMESTAMP_NS, so oracles agree.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # A vanilla session (the driver's) reads parquet timestamps as
+    # TIMESTAMP_NTZ, which rejects epoch casts (`cast(ts as long)`,
+    # `unix_micros`) under Spark 4 ANSI rules. Normalize to TIMESTAMP here:
+    # session tz is pinned UTC (session.py / __spark_entry__._ensure_confs),
+    # so the cast preserves wall-clock values, and `toPandas`/collect yields
+    # the same naive datetimes either way — oracle hashes are unaffected.
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return ensure_min_parallelism(df) if ensure_parallelism else df
 
 
