@@ -150,12 +150,24 @@ def minhash_candidate_pairs(
     Shuffle cost: |docs| x n_bands rows joined on (band_id, band_hash).
     Estimated Jaccard = fraction of agreeing signature positions.
     """
+    # The band self-join runs on SKINNY (id, band) rows — a pair colliding
+    # in several bands is emitted once per band, so carrying the signature
+    # arrays through that multiplied shuffle is pure waste (measured 6.4M
+    # pair rows x 2x16 bigints at sf0.1 before the dedup). Signatures are
+    # re-attached AFTER the (doc_a, doc_b) dedup, joining the O(|docs|)
+    # signature relation twice.
     banded = df.select(
-        F.col(id_col), F.col(sig_col), F.explode(lsh_bands(F.col(sig_col), num_hashes, band_size)).alias("band")
-    ).select(id_col, sig_col, "band.band_id", "band.band_hash")
+        F.col(id_col),
+        F.explode(lsh_bands(F.col(sig_col), num_hashes, band_size)).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
     a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    # shuffle_hash: `banded` is |docs| x n_bands rows and GROWS with the
+    # corpus — left to stats Spark broadcasts one side (driver collect +
+    # single-threaded HashedRelation build; OOM at scale). Shuffling on
+    # the band key is the plan that survives 100 TB, and AQE still splits
+    # hot buckets (skew-join handles SHJ in Spark 4).
+    b = banded.hint("shuffle_hash").alias("b")
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -165,10 +177,23 @@ def minhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col(f"a.{sig_col}").alias("sig_a"),
-            F.col(f"b.{sig_col}").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sigs = df.select(F.col(id_col), F.col(sig_col))
+    pairs = (
+        pair_ids.join(
+            sigs.select(
+                F.col(id_col).alias("doc_a"), F.col(sig_col).alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("doc_b"), F.col(sig_col).alias("sig_b")
+            ),
+            "doc_b",
+        )
     )
     agree = F.size(
         F.filter(
@@ -207,7 +232,11 @@ def exact_jaccard_pairs(
         .drop("shingle")
     )
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # shuffle_hash, same rationale as minhash_candidate_pairs: the
+    # exploded-shingle relation scales with the corpus; broadcasting it
+    # (Spark's stats-driven pick at fixture scale) serializes the join
+    # into the driver and cannot survive real volume.
+    b = exploded.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,
@@ -289,13 +318,18 @@ def minhash_signatures_df(
     """
     # explode_outer: a NULL text yields a NULL shingle array; plain explode
     # would DROP the row, while the DuckDB oracles keep it (NULL signature)
+    #
+    # The md5-derived base hash is MATERIALIZED as a projected column
+    # before the aggregate: inlining it into the 16 min() functions makes
+    # codegen evaluate md5 16x per shingle (no CSE across aggregate
+    # buffers — measured 73 s vs ~5 s of executor time on the sf0.1
+    # signature stage).
     ex = df.select(
         id_col, F.explode_outer(shingles(F.col(text_col), k)).alias("_sh")
-    )
-    base = hash60(F.col("_sh")) % F.lit(MINHASH_P)
+    ).select(id_col, (hash60(F.col("_sh")) % F.lit(MINHASH_P)).alias("_base"))
     aggs = [
         F.min(
-            (F.lit(MINHASH_A_STEP * i + 1) * base + F.lit(MINHASH_B_STEP * i))
+            (F.lit(MINHASH_A_STEP * i + 1) * F.col("_base") + F.lit(MINHASH_B_STEP * i))
             % F.lit(MINHASH_P)
         ).alias(f"_m{i}")
         for i in range(num_hashes)
@@ -320,12 +354,17 @@ def simhash_df(
     """
     n_bits = prefix_hex * 4
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    ex = df.select(id_col, F.explode_outer(toks).alias("_tok"))
-    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, prefix_hex), 16, 10).cast(
-        "bigint"
+    # Project the md5-derived token hash ONCE before the aggregate — inlined
+    # into the 60 per-bit sums, codegen would re-evaluate md5 60x per token
+    # (no CSE across aggregate buffers; same finding as minhash_signatures_df).
+    ex = df.select(id_col, F.explode_outer(toks).alias("_tok")).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, prefix_hex), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
     )
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
         for b in range(n_bits)
     ]
     counts = ex.groupBy(id_col).agg(*aggs)
@@ -371,9 +410,18 @@ def verify_candidate_jaccard(
         F.col("sh_size").alias("size_b"),
         F.col("shingle_h").alias("h_b"),
     )
+    # Join shape for scale: the CANDIDATE list is the small side (LSH
+    # bounds it) — broadcast it; the exploded-shingle sides grow with the
+    # corpus and must shuffle. Without the hints Spark's size stats pick
+    # the reverse (broadcast the 10-100x-exploded relations: driver
+    # collect + 1-task HashedRelation builds — measured 8 s of serialized
+    # time at sf0.1, OOM at real volume).
     inter = (
-        candidates.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("_b_id")) & (F.col("h_a") == F.col("h_b")))
+        F.broadcast(candidates).join(a, "doc_a")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("doc_b") == F.col("_b_id")) & (F.col("h_a") == F.col("h_b")),
+        )
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -26,14 +26,19 @@ from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 # O(months) rows however big orders is, and the revenue rollup joins
 # onto it broadcast-side. Zero-fill distinguishes "no orders that
 # month" from "month outside the data span" — the spine defines truth.
+#
+# The Spark side inlines the min/max bounds as literals (one tiny
+# agg-collect of 2 values): a scalar subquery inside the recursive
+# step's WHERE is re-planned and re-run at EVERY recursion level (~80
+# full orders scans — measured 12.8s at sf0.1, vs <1s inlined). The
+# oracle keeps the subquery form — DuckDB evaluates it once — proving
+# the two forms agree.
 _CAL_SQL = """
 WITH RECURSIVE spine(month_start) AS (
-  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM {orders}))
-              AS TIMESTAMP)
+  SELECT CAST(date_trunc('month', {min_ts}) AS TIMESTAMP)
   UNION ALL
   SELECT month_start + INTERVAL '1' MONTH FROM spine
-  WHERE month_start < CAST(date_trunc('month',
-        (SELECT max(o_orderdate) FROM {orders})) AS TIMESTAMP)
+  WHERE month_start < CAST(date_trunc('month', {max_ts}) AS TIMESTAMP)
 )
 SELECT
   s.month_start,
@@ -50,7 +55,11 @@ LEFT JOIN (
 ) r ON s.month_start = r.m
 """
 
-_CAL_ORACLE = _CAL_SQL.format(orders="orders")
+_CAL_ORACLE = _CAL_SQL.format(
+    orders="orders",
+    min_ts="(SELECT min(o_orderdate) FROM orders)",
+    max_ts="(SELECT max(o_orderdate) FROM orders)",
+)
 
 
 @register("monthly_calendar_gapfill_recursive", _CAL_ORACLE)
@@ -61,9 +70,25 @@ def q_monthly_calendar_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     `daily_activity_gapfill` (sequence+explode); this is the recursion
     form for spines whose step logic doesn't fit `sequence()` (fiscal
     calendars, business-day steps).
+
+    Bounds are fetched with one 2-value agg-collect and inlined as
+    literals — at any scale that's a single column-pruned min/max scan;
+    leaving them as scalar subqueries re-runs the scan per recursion
+    level (see _CAL_SQL comment).
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_cal_orders")
-    return spark.sql(_CAL_SQL.format(orders="_cal_orders"))
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_cal_orders")
+    lo, hi = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).first()
+    fmt = "TIMESTAMP '{:%Y-%m-%d %H:%M:%S}'"
+    return spark.sql(
+        _CAL_SQL.format(
+            orders="_cal_orders",
+            min_ts=fmt.format(lo),
+            max_ts=fmt.format(hi),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext23,
         queries_ext24,
         queries_ext25,
+        queries_ext26,
     )
 
     return REGISTRY
