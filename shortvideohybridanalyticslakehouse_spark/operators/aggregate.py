@@ -36,6 +36,7 @@ def tumbling_window_agg(
     sum_exprs: Mapping[str, Column] | None = None,
     dedup_col: str | None = None,
     with_processed_at: bool = False,
+    extra_aggs: Mapping[str, Column] | None = None,
 ) -> DataFrame:
     """A1: event-time tumbling-window hash aggregation.
 
@@ -51,6 +52,8 @@ def tumbling_window_agg(
         aggs.append(conditional_count(cond).alias(name))
     for name, expr in (sum_exprs or {}).items():
         aggs.append(F.sum(expr).alias(name))
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
     if with_processed_at:
         aggs.append(F.current_timestamp().alias("processed_at"))
     win = F.window(F.col(ts_col), window_duration)
