@@ -37,6 +37,13 @@ def _ensure_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # See session.py: stops explode-generator expressions from being
+    # duplicated into (possibly single-partition) scan stages as inferred
+    # size()>0 filters.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark
 
 

@@ -261,6 +261,13 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # AQE sizes the post-dedup stage by BYTES (16-byte id pairs → 1-3
+    # partitions) but the downstream per-pair cosine is CPU-bound (64-dim
+    # HOF arithmetic) — measured 11 s on 3 tasks at sf0.1. A cheap
+    # round-robin of the skinny pairs restores full-width parallelism; at
+    # real scale candidate volume keeps the stage wide and this is a
+    # no-op-sized shuffle either way.
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
     vecs = corpus.select(F.col(id_col), F.col(vec_col))
     return (
         ids.join(

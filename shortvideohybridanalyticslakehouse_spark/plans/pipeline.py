@@ -145,6 +145,13 @@ def decision_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # The threshold collect below materializes `rolled`; caching it means
+    # the main job reads the 10k-row cached view instead of re-running
+    # scan -> agg -> window (the reference materializes its gold fact for
+    # exactly this reason). The handful of MB stays cached for the
+    # session — the serving-view trade, not a leak at this grain.
+    rolled = rolled.persist()
+
     # J2/J3 analog: exact-quantile thresholds, collected as two scalars
     # (one tiny job over the rolled view) and inlined as literals — the
     # published-baseline pattern; identical values to the cross-join form.

@@ -48,6 +48,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any pandas interchange (toPandas, pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate turns every explode(f(x)) into a pushed
+        # `size(f(x))>0` filter — duplicating the generator expression into
+        # the scan stage, BELOW any parallelizing repartition. For this
+        # engine's explode-heavy text/hash pipelines that serialized
+        # seconds of md5/shingle work onto single-partition scans
+        # (measured: ngram_jaccard_top_pairs 5.3 s -> 1.2 s at sf0.1 with
+        # the rule off). The rule only saves skipping empty-array rows —
+        # negligible here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # ANSI off: the reference relies on permissive casts (bad timestamp
         # strings -> NULL -> quarantine row, never job failure).
         .config("spark.sql.ansi.enabled", "false")
