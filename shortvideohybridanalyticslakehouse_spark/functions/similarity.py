@@ -127,19 +127,22 @@ def kmeans_ivf_topk(
     k: int = 10,
     n_clusters: int = 8,
     seed: int = 42,
+    nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF with a TRAINED coarse quantizer (pyspark.ml KMeans) instead of a
-    precomputed label: fit centroids, assign every vector, search only the
-    query's cell.
+    precomputed label: fit centroids, assign every vector, search the
+    ``nprobe`` cells whose centroids are cosine-nearest the query.
 
     The production shape: train once offline, write cluster ids into the
     table (partition/bucket by them), and the per-query filter becomes
-    partition pruning. Training cost is one pass over a sample; assignment
-    is a narrow map. Not oracle-checked (k-means|| initialization is not
-    SQL-reproducible) — correctness is asserted by recall-vs-brute-force
-    tests.
+    partition pruning over nprobe cells. Multi-probe matters: k-means||
+    initialization depends on the input partition layout, so single-cell
+    recall is fragile — probing the 3 nearest of 8 cells keeps recall
+    stable across layouts at ~3/8 of the scan. Not oracle-checked
+    (k-means|| is not SQL-reproducible) — correctness is asserted by
+    recall-vs-brute-force tests.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -151,13 +154,36 @@ def kmeans_ivf_topk(
         featuresCol="_features", k=n_clusters, seed=seed, maxIter=10
     ).fit(featured)
     assigned = model.transform(featured).withColumnRenamed("prediction", "_cell")
+
+    # One-row driver fetch of the query vector; centroid ranking is a few
+    # dozen dot products driver-side (the IVF routing table is tiny by
+    # construction — this is what an ANN index stores in memory).
+    qv = (
+        featured.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .first()[0]
+    )
+
+    def _cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    centers = [list(c) for c in model.clusterCenters()]
+    probe_cells = sorted(
+        range(len(centers)), key=lambda i: -_cos(qv, centers[i])
+    )[: max(1, nprobe)]
+
     query = assigned.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("query_vec"), F.col("_cell").alias("_query_cell")
+        F.col(vec_col).alias("query_vec")
     )
-    cell = assigned.filter(F.col(id_col) != query_id).join(
-        F.broadcast(query), F.col("_cell") == F.col("_query_cell")
+    cand = (
+        assigned.filter(F.col(id_col) != query_id)
+        .filter(F.col("_cell").isin(probe_cells))
+        .crossJoin(F.broadcast(query))
     )
-    scored = cell.withColumn(
+    scored = cand.withColumn(
         "cosine_sim", F.round(cosine(F.col(vec_col), F.col("query_vec")), 6)
     )
     return (

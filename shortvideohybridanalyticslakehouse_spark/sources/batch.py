@@ -33,9 +33,22 @@ TPCH_TABLES = (
 )
 
 
+# Tables whose downstream pipelines are CPU-heavy narrow transforms
+# (shingling, hashing, vector arithmetic): a single-file fixture scan
+# arrives as ONE partition and would serialize all of it. Auto-apply the
+# parallelism guard for these; at real scale the scan is already wide and
+# the guard is a no-op.
+_CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, ensure_parallelism: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ensure_parallelism: bool | None = None,
 ) -> DataFrame:
+    if ensure_parallelism is None:
+        ensure_parallelism = name in _CPU_HEAVY_TABLES
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-precision parquet timestamp read as long (see session.py);
