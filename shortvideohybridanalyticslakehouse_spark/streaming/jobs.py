@@ -353,3 +353,72 @@ def start_attribution_join_job(
         .trigger(**trigger)
         .start()
     )
+
+
+def session_window_plan(
+    valid_events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 minutes",
+) -> DataFrame:
+    """T9 (the reference's deferred-M2 sessionization) as a native
+    streaming plan: event-time ``session_window`` per user, gap-merged by
+    the engine's session state store.
+
+    The SAME expression works in batch (watermark=None) — the test
+    asserts stream/batch agreement on closed sessions. In streaming,
+    append mode emits a session only after the watermark passes its
+    close (sessions still open at end-of-input stay in state).
+
+    Scale: sessions shuffle once on user_id; state is bounded by open
+    sessions per user (watermark evicts closed ones) — the canonical
+    Spark sessionization shape (ref: legacy_docs/PipelineArchitecture.md:
+    236-241 defers this to a batch LAG stitch; Structured Streaming's
+    session_window subsumes it).
+    """
+    src = valid_events
+    if watermark is not None:
+        src = src.withWatermark("event_timestamp", watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col("event_timestamp"), gap).alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("watch_time_ms"), F.lit(0))).alias(
+                "watch_time_sum_ms"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "watch_time_sum_ms",
+        )
+    )
+
+
+def start_session_window_job(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming sessionization: parse -> validate -> session_window ->
+    append closed sessions to parquet."""
+    trigger = trigger or {"availableNow": True}
+    parsed = annotate_content_errors(parse_content_events(source))
+    valid = parsed.filter(F.col("error_code").isNull())
+    sessions = session_window_plan(valid, gap=gap, watermark=watermark)
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "user_sessions"))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "sessions"))
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
