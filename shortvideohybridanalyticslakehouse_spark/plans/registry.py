@@ -50,6 +50,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext24,
         queries_ext25,
         queries_ext26,
+        queries_ext27,
     )
 
     return REGISTRY
