@@ -51,6 +51,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext25,
         queries_ext26,
         queries_ext27,
+        queries_ext28,
     )
 
     return REGISTRY
