@@ -52,6 +52,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext26,
         queries_ext27,
         queries_ext28,
+        queries_ext29,
     )
 
     return REGISTRY
