@@ -133,7 +133,9 @@ def kmeans_ivf_topk(
 ) -> DataFrame:
     """IVF with a TRAINED coarse quantizer (pyspark.ml KMeans) instead of a
     precomputed label: fit centroids, assign every vector, search the
-    ``nprobe`` cells whose centroids are cosine-nearest the query.
+    ``nprobe`` cells whose centroids are nearest the query by squared
+    Euclidean distance (the quantizer's own assignment metric), always
+    including the query's assigned cell.
 
     The production shape: train once offline, write cluster ids into the
     table (partition/bucket by them), and the per-query filter becomes
@@ -158,21 +160,28 @@ def kmeans_ivf_topk(
     # One-row driver fetch of the query vector; centroid ranking is a few
     # dozen dot products driver-side (the IVF routing table is tiny by
     # construction — this is what an ANN index stores in memory).
-    qv = (
-        featured.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col).cast("array<double>"))
-        .first()[0]
+    row = (
+        assigned.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"), F.col("_cell"))
+        .first()
     )
+    if row is None:  # absent query id: empty result, not a TypeError
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cosine_sim double"
+        )
+    qv, q_cell = row[0], row[1]
 
-    def _cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return dot / (na * nb) if na and nb else 0.0
+    def _sq_l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
 
+    # Probe cells ranked by SQUARED EUCLIDEAN distance — the same metric
+    # KMeans uses for assignment (cosine ranking could skip the query's own
+    # cell for unnormalized vectors); the model-assigned cell is always
+    # force-included so recall never silently drops to zero.
     centers = [list(c) for c in model.clusterCenters()]
-    probe_cells = sorted(
-        range(len(centers)), key=lambda i: -_cos(qv, centers[i])
+    ranked = sorted(range(len(centers)), key=lambda i: _sq_l2(qv, centers[i]))
+    probe_cells = list(
+        dict.fromkeys([q_cell, *ranked[: max(1, nprobe)]])
     )[: max(1, nprobe)]
 
     query = assigned.filter(F.col(id_col) == query_id).select(

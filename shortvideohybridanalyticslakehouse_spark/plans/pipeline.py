@@ -39,6 +39,9 @@ FLAGSHIP_MAX_SKIP = 0.75
 FLAGSHIP_MIN_PLAY_START = 1.0
 FLAGSHIP_MAX_AGE_MINUTES = 7 * 24 * 60.0  # "young" = first seen within 7 days
 
+# One persisted `rolled` view per (session, sf_dir) — see decision_context.
+_ROLLED_CACHE: dict[tuple, DataFrame] = {}
+
 
 def events_1min(
     spark: SparkSession, sf_dir: str, with_min_ts: bool = False
@@ -148,9 +151,15 @@ def decision_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The threshold collect below materializes `rolled`; caching it means
     # the main job reads the 10k-row cached view instead of re-running
     # scan -> agg -> window (the reference materializes its gold fact for
-    # exactly this reason). The handful of MB stays cached for the
-    # session — the serving-view trade, not a leak at this grain.
+    # exactly this reason). Bounded: at most ONE cached copy per
+    # (session, sf_dir) — a repeat invocation unpersists the previous
+    # generation first, so long-lived sessions don't accumulate storage.
+    cache_key = (spark, sf_dir)
+    stale = _ROLLED_CACHE.pop(cache_key, None)
+    if stale is not None:
+        stale.unpersist(blocking=False)
     rolled = rolled.persist()
+    _ROLLED_CACHE[cache_key] = rolled
 
     # J2/J3 analog: exact-quantile thresholds, collected as two scalars
     # (one tiny job over the rolled view) and inlined as literals — the

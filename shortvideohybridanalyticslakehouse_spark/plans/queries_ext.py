@@ -495,17 +495,21 @@ WITH sh AS (
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ), cand AS (
-  -- est-Jaccard prefilter (signature agreement >= 6 of 16): drops
+  -- est-Jaccard prefilter (signature agreement >= 4 of 16): drops
   -- candidates whose MinHash estimate is far below the 0.5 verify
   -- threshold BEFORE the exact-intersection join; identical integer
   -- agreement computed on the Spark side, so both engines keep the
-  -- exact same pair set
+  -- exact same pair set. Cut set at 4 (not 8 = the threshold's
+  -- expectation): P[Binomial(16, 0.5) <= 3] ~ 1%, so a pair at the
+  -- 0.5 verify boundary survives the prefilter w.p. ~99% — the ~2x
+  -- candidate reduction costs ~1% recall at the boundary instead of
+  -- the ~10% a >=6 cut would.
   SELECT c.doc_a, c.doc_b
   FROM cand0 c
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b
   WHERE list_sum(list_transform(range(1, 17),
-        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 6
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 4
 ), ex AS (
   SELECT doc_id, len(shs) AS sh_size,
          CAST(('0x' || substr(md5(unnest(shs)), 1, 15)) AS BIGINT) AS shingle_h
@@ -528,13 +532,17 @@ WHERE n_inter / CAST(size_a + size_b - n_inter AS DOUBLE) >= 0.5
 @register("near_dup_lsh_verified", _LSH_VERIFIED_ORACLE)
 def q_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE production near-dup pipeline: MinHash-LSH candidate generation,
-    an est-Jaccard prefilter (signature agreement >= 6/16 — drops band
+    an est-Jaccard prefilter (signature agreement >= 4/16 — drops band
     collisions whose estimate sits far under the verify threshold), then
     exact Jaccard verification thresholded at 0.5. Exact-verify cost
     scales with |prefiltered candidates| (LSH- and estimate-bounded),
     never |docs|² — the composition the standalone queries document.
     The oracle applies the IDENTICAL integer agreement cut, so both
-    engines verify the exact same pair set.
+    engines verify the exact same pair set. The cut is 4/16, not the
+    threshold's expectation 8/16: a true-Jaccard-0.5 pair fails a >=6
+    cut with ~10% probability (Binomial(16, .5) tail) but a >=4 cut
+    with only ~1% — recall at the verify boundary is the explicit
+    trade against candidate volume.
     """
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
     with_sig = dedupfns.minhash_signatures_df(
@@ -542,7 +550,7 @@ def q_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = dedupfns.minhash_candidate_pairs(
         with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
-    ).filter(F.col("est_jaccard") * 16 >= 6).select("doc_a", "doc_b")
+    ).filter(F.col("est_jaccard") * 16 >= 4).select("doc_a", "doc_b")
     verified = dedupfns.verify_candidate_jaccard(docs, cand, "doc_id", "text", k=2)
     return verified.filter(F.col("jaccard") >= 0.5).withColumn(
         "jaccard", F.round(F.col("jaccard"), 6)

@@ -81,6 +81,12 @@ def q_monthly_calendar_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = orders.agg(
         F.min("o_orderdate"), F.max("o_orderdate")
     ).first()
+    if lo is None:  # empty orders: no spine, degrade to an empty result
+        return spark.createDataFrame(
+            [], "month_start timestamp, n_orders bigint, revenue double"
+        )
+    # second-precision truncation below is safe: both spine bounds are
+    # month-truncated before use, so sub-second loss can't move a month
     fmt = "TIMESTAMP '{:%Y-%m-%d %H:%M:%S}'"
     return spark.sql(
         _CAL_SQL.format(
