@@ -202,6 +202,111 @@ def kmeans_ivf_topk(
     )
 
 
+def medoid_ivf_topk(
+    corpus: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF with a DETERMINISTIC hash-seeded medoid quantizer — the
+    SQL-reproducible split of quantization from search.
+
+    Cells are the ``n_cells`` corpus vectors with the lexicographically
+    smallest ``md5(cast(id as string))`` (a deterministic uniform sample —
+    the k-medoid stand-in for a trained coarse quantizer, which k-means||
+    cannot reproduce in SQL). Every vector is assigned to the medoid
+    minimizing squared Euclidean distance (ties -> smaller medoid id); the
+    query probes its ``nprobe`` nearest cells by the same metric, which by
+    construction always includes its own assigned cell.
+
+    Scale shape: the medoid set is a TakeOrderedAndProject (top-8 by hash),
+    collected driver-side as the ANN routing table (8x64 floats — what any
+    IVF index keeps in memory); assignment is a per-row codegen expression
+    against literal centroids (no join, no shuffle); the probe filter prunes
+    the scan to ~nprobe/n_cells of the corpus (partition pruning once the
+    table is written bucketed by cell); top-k is TakeOrderedAndProject.
+
+    All distances accumulate doubles in array index order on every engine
+    (Spark fold, DuckDB list_sum, driver-side Python loop), so argmin ties
+    and probe routing are bit-identical — the DuckDB oracle replays the
+    exact arithmetic.
+    """
+    sess = corpus.sparkSession
+    empty_schema = f"{id_col} long, cosine_sim double"
+
+    medoids = [
+        (r[0], list(r[1]))
+        for r in corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>")
+        )
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    ]
+    qrow = (
+        corpus.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .first()
+    )
+    if qrow is None or not medoids:
+        return sess.createDataFrame([], empty_schema)
+    qv = list(qrow[0])
+
+    def _sq_l2(a, b):
+        acc = 0.0  # plain left fold in index order — matches both engines
+        for x, y in zip(a, b):
+            d = x - y
+            acc += d * d
+        return acc
+
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _sq_l2(qv, mv)) for cid, mv in medoids),
+            key=lambda t: (t[1], t[0]),
+        )[: max(1, nprobe)]
+    ]
+
+    def _dist_expr(mv: list[float]) -> Column:
+        diff2 = F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(x) for x in mv]),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                _dist_expr(mv).alias("dist"),
+                F.lit(cid).cast("long").alias("cell_id"),
+            )
+            for cid, mv in medoids
+        ]
+    )
+    # array_min on (dist, cell_id) structs = argmin with the id tie-break
+    assigned = corpus.withColumn(
+        "_cell", F.array_min(cell_structs).getField("cell_id")
+    )
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    scored = (
+        assigned.filter(F.col(id_col) != query_id)
+        .filter(F.col("_cell").isin(probe_cells))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col(vec_col), q_lit), round_to)
+        )
+    )
+    return (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cosine_sim")
+    )
+
+
 def hyperplane_sketch(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH sign sketch as a BIGINT (deterministic planes).
 

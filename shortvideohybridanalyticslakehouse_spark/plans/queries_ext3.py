@@ -600,17 +600,69 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return churned.unionByName(retained)
 
 
-@register("embedding_kmeans_ivf_topk", None)  # trained quantizer: rows-only check
+# Deterministic medoid quantizer: same arithmetic replayed on both engines.
+_SQ_L2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+_COS = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 6)"
+)
+
+_MEDOID_IVF_ORACLE = f"""
+WITH med AS (
+  SELECT vec_id AS cell_id, embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 8
+), dist AS (
+  SELECT e.vec_id, e.embedding, m.cell_id,
+         {_SQ_L2.format(a='e.embedding', b='m.embedding')} AS d2
+  FROM embeddings e CROSS JOIN med m
+), assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM dist)
+  WHERE rn = 1
+), q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT m.cell_id
+  FROM med m CROSS JOIN q
+  ORDER BY {_SQ_L2.format(a='q.embedding', b='m.embedding')}, m.cell_id
+  LIMIT 3
+)
+SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.embedding')} AS cosine_sim
+FROM assigned a JOIN probe p ON a.cell_id = p.cell_id CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("embedding_kmeans_ivf_topk", _MEDOID_IVF_ORACLE)
 def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN with a TRAINED coarse quantizer (pyspark.ml KMeans): fit
-    centroids, assign cells, search only the query's cell. k-means||
-    initialization is not SQL-reproducible, so no DuckDB oracle — recall
-    against brute force is asserted in tests/test_kmeans_ivf.py.
+    """ANN with a quantizer SPLIT from the search so the routing arithmetic
+    is SQL-reproducible: deterministic hash-seeded medoids (8 corpus
+    vectors with smallest md5(id)) stand in for the trained centroids,
+    squared-L2 assignment with id tie-break, nprobe=3 nearest cells
+    (always containing the query's own cell), cosine top-10 within the
+    probed cells. The TRAINED pyspark.ml KMeans variant
+    (similarity.kmeans_ivf_topk) keeps the same search path and is
+    asserted by recall tests (tests/test_kmeans_ivf.py) — k-means||
+    initialization itself is not SQL-reproducible.
     """
     from shortvideohybridanalyticslakehouse_spark.functions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
-    return similarity.kmeans_ivf_topk(emb, query_id=0, k=10)
+    return similarity.medoid_ivf_topk(emb, query_id=0, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -33,3 +33,38 @@ def test_kmeans_ivf_recall_vs_brute_force(spark):
     # the fixture embeddings are label-clustered; a trained quantizer must
     # recover enough structure to land most of the true top-10
     assert len(ivf_ids & brute_ids) >= 5
+
+
+def test_kmeans_ivf_absent_query_returns_empty(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.kmeans_ivf_topk(emb, query_id=10**12, k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cosine_sim"]
+
+
+def test_medoid_ivf_recall_and_exactness(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query_vec = (
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    brute = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query_vec)),
+        F.col("qv"),
+        k=10,
+    )
+    ivf = similarity.medoid_ivf_topk(emb, query_id=0, k=10)
+    rows = ivf.collect()
+    assert len(rows) == 10
+    brute_scores = {r.vec_id: r.cosine_sim for r in brute.collect()}
+    for r in rows:  # IVF only prunes — returned scores must be exact
+        if r.vec_id in brute_scores:
+            assert abs(r.cosine_sim - brute_scores[r.vec_id]) < 1e-9
+    # hash-seeded medoids are a uniform sample, not trained centroids:
+    # probing 3/8 cells must still recover a useful share of the top-10
+    assert len({r.vec_id for r in rows} & set(brute_scores)) >= 3
+
+
+def test_medoid_ivf_absent_query_returns_empty(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.medoid_ivf_topk(emb, query_id=10**12, k=10)
+    assert out.count() == 0
