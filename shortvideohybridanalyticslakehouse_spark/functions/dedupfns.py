@@ -379,6 +379,58 @@ def simhash_df(
     return counts.select(id_col, fp.alias(out_col))
 
 
+def simhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    n_bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Hamming-space candidate pairs via simhash band blocking.
+
+    Splits the fingerprint into ``n_bands`` contiguous bit bands (4x15 by
+    default) and equi-joins on (band_id, band_val): by pigeonhole, any pair
+    within hamming distance ``n_bands - 1`` (<=3 here) shares at least one
+    intact band and is guaranteed a candidate; farther pairs surface only
+    on chance collisions. Shuffle ∝ docs x bands on uniform band keys —
+    never docs² — the same blocking shape as MinHash-LSH banding.
+    """
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col(sim_col), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(sim_col), F.explode(bands).alias("band")
+    ).select(id_col, sim_col, "band.band_id", "band.band_val")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(sim_col).alias("sh_a"),
+        "band_id",
+        "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(sim_col).alias("sh_b"),
+        "band_id",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def verify_candidate_jaccard(
     docs: DataFrame,
     candidates: DataFrame,

@@ -265,11 +265,17 @@ def q_quantile_baselines_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed embedding near-dup (the ANN scale path)
 # ---------------------------------------------------------------------------
 
-def _lsh_oracle() -> str:
-    """DuckDB twin of hyperplane_sketch + banded candidate join + cosine."""
+def lsh_pairs_oracle(band_size: int = 4, limit: int = 20) -> str:
+    """DuckDB twin of hyperplane_sketch + banded candidate join + cosine.
+
+    Parameterized on ``band_size`` so recall variants of the same blocking
+    (4-bit bands vs higher-recall 2-bit bands) share one oracle builder.
+    """
     from shortvideohybridanalyticslakehouse_spark.functions import similarity
 
     signs = similarity.plane_signs(16, 64)
+    n_bands = 16 // band_size
+    mask = (1 << band_size) - 1
     bit_terms = " + ".join(
         "CASE WHEN list_sum(list_transform(range(1, 65), "
         f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(map(str, s))}])[i])) > 0 "
@@ -287,8 +293,9 @@ WITH sk AS (
   SELECT vec_id, embedding, CAST({bit_terms} AS BIGINT) AS sketch
   FROM embeddings
 ), banded AS (
-  SELECT vec_id, embedding, b AS band_id, (sketch >> (4 * b)) & 15 AS band_val
-  FROM sk, range(0, 4) AS t(b)
+  SELECT vec_id, embedding, b AS band_id,
+         (sketch >> ({band_size} * b)) & {mask} AS band_val
+  FROM sk, range(0, {n_bands}) AS t(b)
 ), pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          a.embedding AS ea, b.embedding AS eb
@@ -299,11 +306,11 @@ WITH sk AS (
 SELECT id_a, id_b, {cos} AS cosine_sim
 FROM pairs
 ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
-LIMIT 20
+LIMIT {limit}
 """
 
 
-@register("embedding_lsh_topk", _lsh_oracle())
+@register("embedding_lsh_topk", lsh_pairs_oracle(band_size=4))
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH-blocked near-dup pairs + exact cosine top-20.
 

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions import dedupfns, similarity, text
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 
 DOCS = [
@@ -92,6 +93,61 @@ def test_pairwise_topk_deterministic_ordering(spark):
     out = similarity.pairwise_cosine_topk(df, k_pairs=2).collect()
     assert (out[0].id_a, out[0].id_b) == (1, 2)  # cosine 1.0 first
     assert out[0].cosine_sim == 1.0
+
+
+def test_simhash_banded_pairs_guarantee_and_exactness(spark):
+    """Banded blocking vs the brute-force small-N oracle: every pair within
+    hamming <= n_bands-1 MUST be a candidate (pigeonhole), and surfaced
+    hammings must equal the brute-force values."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "documents")
+    f = dedupfns.simhash_df(emb, "doc_id", "text")
+    vals = {r.doc_id: r.simhash for r in f.collect()}
+    brute = {
+        (a, b): bin(vals[a] ^ vals[b]).count("1")
+        for a in vals
+        for b in vals
+        if a < b
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedupfns.simhash_banded_pairs(f, "doc_id", "simhash")
+        .select(
+            "doc_a",
+            "doc_b",
+            dedupfns.hamming_distance64(F.col("sh_a"), F.col("sh_b"))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .collect()
+    }
+    guaranteed = {p for p, h in brute.items() if h <= 3}
+    assert guaranteed <= set(banded)
+    for p, h in banded.items():
+        assert brute[p] == h
+
+
+def test_embedding_lsh_band2_recovers_brute_force_top_pairs(spark):
+    """band_size=2 blocking (8 bands) must recover the brute-force top
+    pairs on the clustered fixture, with exact cosine values."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.pairwise_cosine_topk(emb, k_pairs=10).collect()
+    }
+    cand = similarity.lsh_candidate_pairs(emb, n_planes=16, band_size=2)
+    blocked = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cand.withColumn(
+            "cosine_sim",
+            F.round(similarity.cosine(F.col("vec_a"), F.col("vec_b")), 6),
+        )
+        .select("id_a", "id_b", "cosine_sim")
+        .collect()
+    }
+    hits = set(brute) & set(blocked)
+    assert len(hits) >= 8  # >=80% recall of the true top-10 at 2-bit bands
+    for p in hits:
+        assert abs(blocked[p] - brute[p]) < 1e-9
 
 
 def test_hyperplane_sketch_deterministic(spark):
