@@ -1,0 +1,133 @@
+"""Distributed exact ranking — total-order ranks and ntile WITHOUT a
+single-partition global sort.
+
+The problem: ``ntile(k) OVER (ORDER BY ...)`` (and any exact global rank)
+forces Spark to plan a Window over ONE partition — the whole input sorts on
+one core, the anti-pattern PLANS.md flagged for equi_depth_value_bins /
+customer_spend_quartiles. The reference never solves this (its engine is
+single-node); at 100 TB it's the difference between a working query and an
+executor OOM.
+
+The scale shape used here (the documented "broadcast approx-quantile cut
+points + scan-side bucketing" swap, made EXACT):
+
+1. ``approx_percentile`` picks ~``n_buckets`` cut points of the first sort
+   key — one aggregate, collected as a tiny literal array (the only
+   driver-side fetch, O(n_buckets)).
+2. Every row maps to a bucket with ``size(filter(cuts, c -> v > c))`` —
+   a scan-side expression against broadcast literals; buckets are
+   MONOTONIC in the sort key, so global order = (bucket, within-bucket
+   order). Cut-point accuracy only shapes bucket BALANCE, never
+   correctness.
+3. Exact per-bucket counts -> exclusive prefix offsets via a window over
+   the counts frame (|groups| x n_buckets rows; in the global case this
+   window IS single-partition, but over at most n_buckets rows — O(64),
+   not O(data)).
+4. ``row_number`` within (group, bucket) + broadcast-joined offset =
+   exact global row number. Each window group is ~1/n_buckets of its
+   group — the sort is distributed across buckets.
+
+From the exact row number, ``ntile``/``rank``/``cume_dist`` are arithmetic
+(see ntile_from_rank) or tiny tie-group windows.
+
+Skew note: buckets split on the first sort key's VALUES, so a single
+massively repeated value concentrates in one bucket (ties can't be split
+across buckets without breaking rank contiguity anyway — the same row
+distribution a perfect partitioner would produce).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_distributed_row_number(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    n_buckets: int = 64,
+    rn_col: str = "_rn",
+    n_col: str = "_n",
+) -> DataFrame:
+    """Append the exact ``row_number() OVER (PARTITION BY part_cols ORDER BY
+    order_cols)`` (ascending, NULLs excluded by the caller) and the group
+    row count, without any single-partition sort.
+
+    ``order_cols[0]`` must be numeric (it feeds approx_percentile); the
+    remaining columns break ties. Adds ``rn_col`` (1-based bigint) and
+    ``n_col`` (rows in the group).
+    """
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    v = order_cols[0]
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.expr(
+            f"approx_percentile({v}, array({', '.join(repr(p) for p in probs)}))"
+        ).alias("cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+
+    if cuts:
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(c) for c in cuts]),
+                lambda c: F.col(v) > c,
+            )
+        ).cast("int")
+    else:  # empty input or a single distinct value: one bucket
+        bucket = F.lit(0)
+    bucketed = df.withColumn("_bucket", bucket)
+
+    counts = bucketed.groupBy(
+        *[F.col(c) for c in part_cols], F.col("_bucket")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if part_cols
+        else Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+    )
+    # counts is |groups| x n_buckets rows — the windows here are over the
+    # tiny side and the result is broadcast back to the scan
+    offsets = counts.select(
+        *part_cols,
+        "_bucket",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_tot).alias(n_col),
+    )
+
+    w_rn = Window.partitionBy(
+        *[F.col(c) for c in part_cols], F.col("_bucket")
+    ).orderBy(*[F.col(c).asc() for c in order_cols])
+    ranked = bucketed.withColumn("_brn", F.row_number().over(w_rn))
+    out = ranked.join(
+        F.broadcast(offsets), [*part_cols, "_bucket"], "inner"
+    ).withColumn(rn_col, (F.col("_off") + F.col("_brn")).cast("bigint"))
+    return out.drop("_bucket", "_brn", "_off")
+
+
+def ntile_from_rank(rn: Column, n: Column, tiles: int) -> Column:
+    """SQL ntile(tiles) as arithmetic over an exact 1-based row number.
+
+    ntile gives the first ``n % tiles`` buckets ``n div tiles + 1`` rows and
+    the rest ``n div tiles`` — bit-for-bit the window function's output,
+    derived without the window's total-order sort.
+    """
+    t = F.lit(tiles)
+    q = (n / t).cast("long")  # floor: n, tiles non-negative
+    r = n - q * t
+    big = r * (q + 1)  # rows living in the larger leading buckets
+    return (
+        F.when(rn <= big, ((rn - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((rn - big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
+        .cast("int")
+    )

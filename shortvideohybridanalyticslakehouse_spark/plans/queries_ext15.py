@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.operators import ranks
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -131,11 +132,27 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (decile) binning of event values with per-bin edges —
     the quantile-bucketing step of feature preprocessing. Total-order
     tie-break on event_id makes bin membership engine-independent.
+
+    Round-3 rework: ntile's window forced a SINGLE-PARTITION global sort
+    (PLANS.md flagged it as the 100x killer). Now the exact row number
+    comes from operators/ranks.py — broadcast approx-quantile cut points
+    bucket the scan, per-bucket counts give prefix offsets, row_number
+    runs per bucket — and the decile is ntile arithmetic over that rank.
+    Output is bit-identical to the window form, so the exact-ntile oracle
+    stays the check.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.orderBy("value", "event_id")
-    ranked = ev.select("value", F.ntile(10).over(w).alias("bin"))
-    return ranked.groupBy("bin").agg(
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_id")
+    )
+    ranked = ranks.with_distributed_row_number(
+        ev, part_cols=[], order_cols=["value", "event_id"]
+    )
+    binned = ranked.withColumn(
+        "bin", ranks.ntile_from_rank(F.col("_rn"), F.col("_n"), 10)
+    )
+    return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value").cast("double"), 6).alias("lo"),
         F.round(F.max("value").cast("double"), 6).alias("hi"),

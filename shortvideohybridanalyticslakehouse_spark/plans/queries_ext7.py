@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.operators import ranks
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -59,6 +60,15 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(4) over a TOTAL order (spend, custkey — ties must not let the
     engines bucket differently), percent_rank/cume_dist summarized with
     order-independent min/max.
+
+    Round-3 rework: per-segment ntile/percent_rank windows sorted each
+    segment on ONE core (5 segments = 5-way parallelism, skew-bound at
+    100x). Exact per-segment row numbers now come from operators/ranks.py
+    (bucketed distributed ranking); quartile is ntile arithmetic, and
+    percent_rank/cume_dist derive from tie-group min/max of the exact rank
+    — (rank_min-1)/(n-1) and rank_max/n, the engines' own formulas — so
+    results stay bit-identical to the window form and the oracle is
+    unchanged.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -69,16 +79,29 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend")
         )
     )
-    w_total = Window.partitionBy("c_mktsegment").orderBy("total_spend", "c_custkey")
-    w_val = Window.partitionBy("c_mktsegment").orderBy("total_spend")
-    ranked = spend.select(
+    ranked = ranks.with_distributed_row_number(
+        spend.select("c_mktsegment", "c_custkey", "total_spend"),
+        part_cols=["c_mktsegment"],
+        order_cols=["total_spend", "c_custkey"],
+    )
+    # tie groups share percent_rank (RANK = min rn) and cume_dist (max rn)
+    w_ties = Window.partitionBy("c_mktsegment", "total_spend")
+    annotated = ranked.select(
         "c_mktsegment",
         "total_spend",
-        F.ntile(4).over(w_total).alias("quartile"),
-        F.percent_rank().over(w_val).alias("pr"),
-        F.cume_dist().over(w_val).alias("cd"),
+        ranks.ntile_from_rank(F.col("_rn"), F.col("_n"), 4).alias("quartile"),
+        F.when(
+            F.col("_n") > 1,
+            (F.min("_rn").over(w_ties) - F.lit(1))
+            / (F.col("_n") - F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        (F.max("_rn").over(w_ties) / F.col("_n").cast("double")).alias("cd"),
     )
-    return ranked.groupBy("c_mktsegment", F.col("quartile").cast("bigint").alias("quartile")).agg(
+    return annotated.groupBy(
+        "c_mktsegment", F.col("quartile").cast("bigint").alias("quartile")
+    ).agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.sum("total_spend").cast("double").alias("quartile_spend"),
         F.round(F.min("pr"), 6).alias("min_pr"),

@@ -1,0 +1,87 @@
+"""Distributed exact ranking vs the single-partition window truth."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.operators import ranks
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_distributed_row_number_matches_window_global(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_id")
+    )
+    got = ranks.with_distributed_row_number(
+        ev, part_cols=[], order_cols=["value", "event_id"], n_buckets=8
+    )
+    w = Window.orderBy("value", "event_id")
+    want = ev.select(
+        "event_id", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    joined = got.select("event_id", "_rn").join(want, "event_id")
+    assert joined.filter(F.col("_rn") != F.col("rn")).count() == 0
+    n = ev.count()
+    assert got.select(F.max("_n")).first()[0] == n
+    assert got.count() == n
+
+
+def test_distributed_row_number_matches_window_grouped(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    got = ranks.with_distributed_row_number(
+        ev,
+        part_cols=["event_type"],
+        order_cols=["value", "event_id"],
+        n_buckets=8,
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    want = ev.select(
+        "event_id", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    joined = got.select("event_id", "_rn").join(want, "event_id")
+    assert joined.filter(F.col("_rn") != F.col("rn")).count() == 0
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    # every (n, tiles) shape incl. n < tiles, exact multiples, remainders
+    random.seed(11)
+    for n, tiles in [(1, 4), (3, 4), (4, 4), (5, 4), (97, 10), (100, 7)]:
+        rows = [(i + 1,) for i in range(n)]
+        df = spark.createDataFrame(rows, "rn long").withColumn(
+            "n", F.lit(n).cast("long")
+        )
+        got = {
+            r.rn: r.bin
+            for r in df.select(
+                "rn", ranks.ntile_from_rank(F.col("rn"), F.col("n"), tiles).alias("bin")
+            ).collect()
+        }
+        w = Window.orderBy("rn")
+        want = {
+            r.rn: r.bin
+            for r in df.select("rn", F.ntile(tiles).over(w).alias("bin")).collect()
+        }
+        assert got == want, f"n={n} tiles={tiles}"
+
+
+def test_distributed_row_number_ties_and_single_value(spark):
+    # all rows share one value: cut list collapses, single bucket path
+    df = spark.createDataFrame(
+        [(7.0, i) for i in range(20)], "value double, event_id long"
+    )
+    got = ranks.with_distributed_row_number(
+        df, part_cols=[], order_cols=["value", "event_id"], n_buckets=8
+    )
+    rns = sorted(r._rn for r in got.collect())
+    assert rns == list(range(1, 21))
