@@ -45,3 +45,52 @@ def missing_required_columns(
     """
     present = set(df_columns)
     return [c for c in required if c not in present]
+
+
+def migration_ddl(
+    table: str,
+    required: Mapping[str, str],
+    existing_columns: Sequence[str],
+) -> list[str]:
+    """ALTER-migration statements for a stale physical table.
+
+    ``required`` maps contract column -> SQL type; any column absent from
+    ``existing_columns`` yields one ``ALTER TABLE ... ADD COLUMNS (...)``
+    statement, in contract order — the operator-runnable migration text the
+    reference prints before failing fast
+    (ref: rt_content_events_aggregator.py:83-94, _sql.py:175-228).
+    Returns [] when the table already satisfies the contract.
+    """
+    missing = missing_required_columns(existing_columns, list(required))
+    if not missing:
+        return []
+    cols = ", ".join(f"{c} {required[c]}" for c in missing)
+    return [f"ALTER TABLE {table} ADD COLUMNS ({cols})"]
+
+
+class ContractViolation(RuntimeError):
+    """Raised by ensure_contract; carries the runnable migration DDL."""
+
+    def __init__(self, table: str, missing: list[str], ddl: list[str]):
+        self.table = table
+        self.missing = missing
+        self.ddl = ddl
+        super().__init__(
+            f"table {table} is missing contract columns {missing}; "
+            "run the migration:\n" + "\n".join(ddl)
+        )
+
+
+def ensure_contract(
+    table: str,
+    required: Mapping[str, str],
+    existing_columns: Sequence[str],
+) -> None:
+    """Fail fast (reference behavior) when a target table lacks contract
+    columns, with the ALTER migration embedded in the error — writers must
+    never silently drop or NULL-pad into a stale physical schema.
+    """
+    ddl = migration_ddl(table, required, existing_columns)
+    if ddl:
+        missing = missing_required_columns(existing_columns, list(required))
+        raise ContractViolation(table, missing, ddl)

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from shortvideohybridanalyticslakehouse_spark import contracts as C
-from shortvideohybridanalyticslakehouse_spark.operators.dedup import latest_per_key
+from shortvideohybridanalyticslakehouse_spark.operators.dedup import (
+    delta_available,
+    latest_per_key,
+    merge_upsert_delta,
+)
 from shortvideohybridanalyticslakehouse_spark.operators.validate import (
     annotate_cdc_errors,
     annotate_content_errors,
@@ -116,12 +120,19 @@ def _merge_overwrite(
     key_cols: list[str],
     order_cols: list[str],
 ) -> None:
-    """T5: MERGE-equivalent upsert for plain-parquet tables.
+    """T5: micro-batch upsert — real ``MERGE`` when Delta is on the
+    classpath, else the MERGE-equivalent plain-parquet fallback.
 
-    Reads current state, unions the new batch (tagged as newer via
-    `_src_rank`), keeps the winner per key, atomically replaces the table
-    (write tmp + rename). On Delta/Iceberg: `MERGE INTO` instead.
+    Delta path: transactional MERGE with the CDC ordering tie-break
+    (replay idempotent — see operators/dedup.py:merge_upsert_delta).
+    Fallback: read current state, union the new batch (tagged newer via
+    `_src_rank`), keep the winner per key, atomically replace the table
+    (write tmp + rename).
     """
+    if delta_available():
+        merge_upsert_delta(spark, table_path, batch_df, key_cols, order_cols)
+        return
+
     import shutil
 
     batch_df = batch_df.withColumn("_src_rank", F.lit(1))

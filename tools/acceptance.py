@@ -123,6 +123,55 @@ def main() -> int:
     }
     gates.update(queue_gates)
 
+    # Streaming-health gates (reference: verify_mic38_sprint1_signoff.py's
+    # query-progress-movement and checkpoint-growth gates, 141-510): drive
+    # the real file-source streaming job over the generated events and gate
+    # on (a) every query reporting progress with input rows, (b) every
+    # query committing >=1 micro-batch, (c) the checkpoint tree growing
+    # over the run.
+    import glob
+    import tempfile
+
+    from shortvideohybridanalyticslakehouse_spark.streaming import jobs as sjobs
+
+    sdir = tempfile.mkdtemp(prefix="svh_accept_stream_")
+    src_dir = os.path.join(sdir, "events_in")
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "part-0000.jsonl"), "w") as f:
+        f.write("\n".join(v for (v,) in run.content_events()))
+    out_dir = os.path.join(sdir, "out")
+    ckpt_dir = os.path.join(sdir, "ckpt")
+
+    def _tree_files(d: str) -> int:
+        return len(
+            [p for p in glob.glob(os.path.join(d, "**"), recursive=True)
+             if os.path.isfile(p)]
+        )
+
+    ckpt_before = _tree_files(ckpt_dir)
+    stream_source = sjobs.read_json_file_stream(spark, src_dir)
+    stream_queries = sjobs.start_content_events_job(
+        spark, stream_source, out_dir, ckpt_dir
+    )
+    for q in stream_queries:
+        q.awaitTermination(180)
+    progress_ok = all(
+        sum(int(p["numInputRows"]) for p in q.recentProgress) > 0
+        and len(q.recentProgress) >= 1
+        for q in stream_queries
+    )
+    commit_files = glob.glob(os.path.join(ckpt_dir, "*", "commits", "*"))
+    gates.update(
+        {
+            "stream_progress_movement": progress_ok,
+            "stream_batches_committed": len(
+                [p for p in commit_files if not p.endswith(".tmp")]
+            )
+            >= len(stream_queries),
+            "stream_checkpoint_growth": _tree_files(ckpt_dir) > ckpt_before,
+        }
+    )
+
     ok = bool(report["_overall"]["passed"]) and all(gates.values())
     print(
         json.dumps(
