@@ -53,6 +53,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext27,
         queries_ext28,
         queries_ext29,
+        queries_ext30,
     )
 
     return REGISTRY
