@@ -115,6 +115,76 @@ def with_distributed_row_number(
     return out.drop("_bucket", "_brn", "_off")
 
 
+def with_distributed_prefix_sum(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "_cum_before",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append the EXCLUSIVE prefix sum of ``value_col`` in the total order
+    ``order_cols`` (per ``part_cols`` group), without a single-partition
+    window — the distributed form of
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Same bucketed two-phase shape as with_distributed_row_number: bucket
+    offsets are the cumulative sums of whole earlier buckets, the
+    within-bucket running sum is an ordinary per-bucket window. Exact for
+    integral/decimal values (sums reassociate losslessly); for doubles the
+    summation ORDER differs from a one-partition window, so use it there
+    only when ulp drift is acceptable.
+    """
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    v = order_cols[0]
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.expr(
+            f"approx_percentile({v}, array({', '.join(repr(p) for p in probs)}))"
+        ).alias("cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+    bucket = (
+        F.size(
+            F.filter(F.array(*[F.lit(c) for c in cuts]), lambda c: F.col(v) > c)
+        ).cast("int")
+        if cuts
+        else F.lit(0)
+    )
+    bucketed = df.withColumn("_bucket", bucket)
+
+    sums = bucketed.groupBy(
+        *[F.col(c) for c in part_cols], F.col("_bucket")
+    ).agg(F.sum(value_col).alias("_bsum"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if part_cols
+        else Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        *part_cols,
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_off"),
+    )
+
+    w_run = (
+        Window.partitionBy(*[F.col(c) for c in part_cols], F.col("_bucket"))
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = bucketed.withColumn(
+        "_brun", F.coalesce(F.sum(value_col).over(w_run), F.lit(0))
+    )
+    out = running.join(
+        F.broadcast(offsets), [*part_cols, "_bucket"], "inner"
+    ).withColumn(out_col, F.col("_off") + F.col("_brun"))
+    return out.drop("_bucket", "_brun", "_off")
+
+
 def ntile_from_rank(rn: Column, n: Column, tiles: int) -> Column:
     """SQL ntile(tiles) as arithmetic over an exact 1-based row number.
 

@@ -16,7 +16,7 @@ documents its two-phase prefix-sum upgrade path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions import dedupfns
@@ -216,11 +216,11 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK = 2048
 
 # Deterministic shuffle order (hash60 of doc_id, doc_id tie-break), then
-# a prefix-sum of token counts decides each doc's chunk span. The
-# global-order window is single-partition here; at scale the SAME
-# numbers come from the classic two-phase prefix sum (per-partition
-# totals to the driver -> per-partition base offsets broadcast back),
-# which bench-scale data doesn't need.
+# a prefix-sum of token counts decides each doc's chunk span. Round-3
+# rework: the prefix sum now comes from operators/ranks.py's bucketed
+# two-phase form (offsets of whole earlier buckets + per-bucket running
+# sum) — no single-partition window; token counts are integral, so the
+# reassociated sum is bit-identical to the oracle's global window.
 _PACKING_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
@@ -255,16 +255,18 @@ def q_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle a chunk boundary (the attention-bleed metric of naive
     packing — the number document-masked packing would fix).
     """
+    from shortvideohybridanalyticslakehouse_spark.operators import ranks
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         hash60(F.col("doc_id").cast("string")).alias("h"),
         F.size(_tokens(F.col("text"))).cast("bigint").alias("tokens"),
     )
-    w = Window.orderBy("h", "doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.select(
-        "tokens", F.coalesce(F.sum("tokens").over(w), F.lit(0)).alias("cum_before")
-    )
+    c = ranks.with_distributed_prefix_sum(
+        t, part_cols=[], order_cols=["h", "doc_id"], value_col="tokens",
+        out_col="cum_before",
+    ).select("tokens", "cum_before")
     chunk = F.lit(_CHUNK)
     return c.agg(
         F.count(F.lit(1)).alias("total_docs"),

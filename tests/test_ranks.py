@@ -75,6 +75,23 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
         assert got == want, f"n={n} tiles={tiles}"
 
 
+def test_distributed_prefix_sum_matches_window(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", F.col("user_id").cast("bigint").alias("v"))
+    )
+    got = ranks.with_distributed_prefix_sum(
+        ev, part_cols=[], order_cols=["event_id"], value_col="v", n_buckets=8
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = ev.select(
+        "event_id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cum")
+    )
+    joined = got.select("event_id", "_cum_before").join(want, "event_id")
+    assert joined.filter(F.col("_cum_before") != F.col("cum")).count() == 0
+
+
 def test_distributed_row_number_ties_and_single_value(spark):
     # all rows share one value: cut list collapses, single bucket path
     df = spark.createDataFrame(
