@@ -54,6 +54,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext28,
         queries_ext29,
         queries_ext30,
+        queries_ext31,
     )
 
     return REGISTRY
