@@ -473,3 +473,105 @@ def cosine_topk_vectorized(
         score, f"{id_col} long, cosine_sim double"
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then WITHIN each cluster drop every vector that has a
+    higher-priority near-duplicate (cosine >= tau, priority = smaller id).
+    Returns per-cell accounting: cell_id, n_members, n_kept, n_dropped.
+
+    Quantizer: the same deterministic hash-seeded medoids as
+    medoid_ivf_topk (n_cells corpus vectors with smallest md5(id)), so the
+    whole pipeline — assignment, pairing, threshold — replays in SQL for
+    the DuckDB oracle; a production run would swap in trained KMeans
+    centers without touching the shape.
+
+    Scale shape: assignment is a scan-side codegen argmin against literal
+    centroids (no join); the candidate-pair stage is a SELF-JOIN ON CELL
+    ID — shuffle and quadratic work are both per-cell, and SemDeDup's own
+    recipe scales n_cells with corpus size (~sqrt n) so cell populations
+    stay bounded; the drop rule is one distinct over the pair output.
+    The fixture's synthetic embeddings top out at pair cosine ~0.51, so
+    tau=0.30 sits inside the observed range to exercise the prune path
+    (real text-embedding deployments use ~0.9+).
+    """
+    sess = corpus.sparkSession
+    medoids = [
+        (r[0], list(r[1]))
+        for r in corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>")
+        )
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    ]
+    if not medoids:
+        return sess.createDataFrame(
+            [], "cell_id long, n_members bigint, n_kept bigint, n_dropped bigint"
+        )
+
+    def _dist_expr(mv: list[float]) -> Column:
+        diff2 = F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(x) for x in mv]),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                _dist_expr(mv).alias("dist"),
+                F.lit(cid).cast("long").alias("cell_id"),
+            )
+            for cid, mv in medoids
+        ]
+    )
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "cell_id", F.array_min(cell_structs).getField("cell_id")
+    )
+    a = assigned.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("cell_id").alias("cell_b"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    dropped = (
+        a.join(b, (a.cell_id == b.cell_b) & (F.col("id_a") < F.col("id_b")))
+        .filter(
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_to)
+            >= F.lit(tau)
+        )
+        .select("cell_id", "id_b")
+        .distinct()
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    members = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(dropped, "cell_id", "left")
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            "n_members",
+            (
+                F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cell_id")
+    )

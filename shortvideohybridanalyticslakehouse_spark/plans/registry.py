@@ -55,6 +55,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext29,
         queries_ext30,
         queries_ext31,
+        queries_ext32,
     )
 
     return REGISTRY
