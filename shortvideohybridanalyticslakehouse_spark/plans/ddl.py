@@ -165,3 +165,56 @@ def write_bucketed_table(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table_name)
+
+
+def zorder_value(x, y, bits: int = 10):
+    """Morton (Z-order) interleave of two non-negative ints, ``bits`` bits
+    each: bit i of x lands at position 2i, bit i of y at 2i+1.
+
+    This is the space-filling-curve layout key behind Delta OPTIMIZE
+    ZORDER / Iceberg sort-order z-ordering: sorting files by the z-value
+    bounds BOTH dimensions inside every contiguous slice, so parquet
+    min/max row-group stats prune on either predicate column — the
+    data-skipping property a single-column sort only gives to one column.
+    Pure bit arithmetic (shift/mask/sum), codegen-friendly, replayable in
+    any engine.
+    """
+    xi = F.col(x) if isinstance(x, str) else x
+    yi = F.col(y) if isinstance(y, str) else y
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(yi, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("bigint")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 10,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` clustered by the z-order curve over (x, y): rows are
+    range-partitioned on the z-value prefix (top bits -> aligned quads)
+    and sorted by full z within each file, so every output file covers a
+    bounded rectangle of the (x, y) plane — the layout that makes
+    min/max-stat file skipping work for point/range predicates on EITHER
+    column. ``n_files`` must be a power of 4 for exactly-square quads
+    (any power of 2 still bounds both spans).
+    """
+    shift = 2 * bits - max(1, (n_files - 1).bit_length())
+    clustered = (
+        df.withColumn("_z", zorder_value(x, y, bits))
+        .withColumn("zbucket", F.shiftright(F.col("_z"), shift).cast("int"))
+        .repartition("zbucket")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    clustered.write.mode("overwrite").partitionBy("zbucket").parquet(path)

@@ -346,25 +346,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection cares about.
 
     Round-3 rework: was a brute-force `doc_a < doc_b` self-join (BNLJ,
-    cartesian-shaped at 100x); now an equi-join on uniform band keys with
-    shuffle ∝ docs x 4. The oracle replays the identical blocking, and the
-    brute-force form survives as the small-N cross-check in
-    tests/test_text_dedup_similarity.py.
+    cartesian-shaped at 100x), then a banded pair equi-join — correct, but
+    the synthetic corpus's band skew made the bucket join emit 2.3M pairs
+    at sf0.1 (5.4 s). Now scored per band bucket by
+    dedupfns.simhash_bucket_topk_pairs: numpy XOR + SWAR popcount per
+    bucket, local top-20 only — no candidate materialization. The oracle
+    replays the identical blocking, and the brute-force form survives as
+    the small-N cross-check in tests/test_text_dedup_similarity.py.
     """
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
     f = dedupfns.simhash_df(docs, "doc_id", "text")
-    pairs = dedupfns.simhash_banded_pairs(f, "doc_id", "simhash")
-    return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            dedupfns.hamming_distance64(F.col("sh_a"), F.col("sh_b"))
-            .cast("bigint")
-            .alias("hamming"),
-        )
-        .orderBy(F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
-        .limit(20)
-    )
+    return dedupfns.simhash_bucket_topk_pairs(f, "doc_id", "simhash", k=20)
 
 
 # ---------------------------------------------------------------------------
@@ -456,25 +448,16 @@ def q_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of a larger candidate set than embedding_lsh_topk's 4-bit bands).
 
     Round-3 rework: was a brute-force `id_a < id_b` self-join — correct at
-    fixture scale, cartesian-shaped at 100x. Candidates now come from
-    similarity.lsh_candidate_pairs (shuffle ∝ vectors x bands on uniform
-    band keys), exact cosine runs on candidates only, and the oracle
-    replays the identical blocking. The brute-force form survives as the
-    small-N recall cross-check in tests/test_text_dedup_similarity.py.
+    fixture scale, cartesian-shaped at 100x. Now scored per LSH band
+    bucket by similarity.lsh_bucket_topk_pairs: an Arrow GEMM per bucket
+    emitting only local top-20s — no candidate-pair shuffle at all (the
+    2-bit bands make the candidate set ~|pairs|, so materializing it was
+    the 11.6 s cost center). The oracle replays the identical blocking;
+    the brute-force form survives as the small-N recall cross-check in
+    tests/test_text_dedup_similarity.py.
     """
     emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
-    cand = similarity.lsh_candidate_pairs(emb, n_planes=16, band_size=2)
-    scored = cand.withColumn(
-        "cosine_sim",
-        F.round(similarity.cosine(F.col("vec_a"), F.col("vec_b")), 6),
-    )
-    return (
-        scored.orderBy(
-            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
-        )
-        .limit(20)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    return similarity.lsh_bucket_topk_pairs(emb, n_planes=16, band_size=2, k=20)
 
 
 # ---------------------------------------------------------------------------

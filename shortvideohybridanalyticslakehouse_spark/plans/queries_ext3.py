@@ -316,23 +316,14 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The embedding analog of MinHash-LSH: shuffle ∝ vectors x 4 bands on
     uniform 4-bit band keys — never vectors² — then exact cosine on the
-    candidate set only.
+    candidates only, scored per band bucket with an Arrow GEMM (local
+    top-20 per bucket; see similarity.lsh_bucket_topk_pairs — no
+    candidate-pair materialization).
     """
     from shortvideohybridanalyticslakehouse_spark.functions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
-    cand = similarity.lsh_candidate_pairs(emb, n_planes=16, band_size=4)
-    scored = cand.withColumn(
-        "cosine_sim",
-        F.round(similarity.cosine(F.col("vec_a"), F.col("vec_b")), 6),
-    )
-    return (
-        scored.orderBy(
-            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
-        )
-        .limit(20)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    return similarity.lsh_bucket_topk_pairs(emb, n_planes=16, band_size=4, k=20)
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext30,
         queries_ext31,
         queries_ext32,
+        queries_ext33,
     )
 
     return REGISTRY
