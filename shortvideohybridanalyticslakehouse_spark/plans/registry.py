@@ -57,6 +57,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext31,
         queries_ext32,
         queries_ext33,
+        queries_ext34,
     )
 
     return REGISTRY
