@@ -1,0 +1,149 @@
+"""Versioned-snapshot tables on plain parquet: commit / time travel / rollback.
+
+The reference runs on a lakehouse (Iceberg/Delta), whose storage layer
+provides snapshot isolation, time travel and rollback for free. Plain
+parquet has none of that, so this module emulates the essential contract
+the way those formats do it internally: IMMUTABLE data versions plus an
+atomically-swapped pointer.
+
+Layout:
+
+    <base>/v=N/...parquet     immutable snapshot data (never rewritten)
+    <base>/_latest            text file holding "N" — the commit pointer
+
+Commit protocol: write the new version directory fully, then atomically
+rename a temp pointer file over `_latest` (os.replace — atomic on POSIX).
+Readers resolve the pointer first, then read only `v=N/`, so a reader can
+never observe a half-written version: either the swap happened (fully
+written data, by write-then-swap ordering) or it didn't (previous version).
+This is exactly Delta's _delta_log "last checkpoint" / Iceberg's
+version-hint indirection, minus manifests.
+
+Reference analog: the MERGE-target gold/dim tables
+(rt_video_cdc_upsert_sql.py:113-172) whose lakehouse versions are queried
+with VERSION AS OF; here `read_snapshot(path, version=...)` is that
+surface, and `rollback` is `RESTORE TABLE ... TO VERSION AS OF`.
+
+At scale: versions are directories of parquet written by the cluster
+(any partitioning inside `v=N/` is allowed); only the tiny pointer file is
+driver-side. Old versions are retained for time travel until `vacuum`
+drops those older than `keep_last`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"^v=(\d+)$")
+_POINTER = "_latest"
+
+
+def _versions(base: str) -> list[int]:
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for name in os.listdir(base):
+        m = _VERSION_RE.match(name)
+        if m and os.path.isdir(os.path.join(base, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _committed_version(base: str) -> int | None:
+    ptr = os.path.join(base, _POINTER)
+    try:
+        with open(ptr) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def commit_snapshot(df: DataFrame, base: str, partition_by: list[str] | None = None) -> int:
+    """Write ``df`` as the next immutable version and atomically publish it.
+
+    Returns the committed version number. Data lands under ``v=N/`` first;
+    the pointer swap (os.replace) is the commit point — a crash before the
+    swap leaves an orphan directory that `vacuum` collects, never a
+    half-visible table.
+    """
+    os.makedirs(base, exist_ok=True)
+    current = _committed_version(base)
+    existing = _versions(base)
+    # advance past BOTH the pointer and any surviving directory (post-
+    # rollback commits and crashed-commit orphans must never be reused)
+    version = max([current if current is not None else -1, *existing, -1]) + 1
+    vdir = os.path.join(base, f"v={version}")
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
+    tmp = os.path.join(base, f"{_POINTER}.tmp.{version}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(base, _POINTER))  # atomic commit point
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot (default) or `VERSION AS OF version`.
+
+    Raises FileNotFoundError for a version that was never committed or was
+    vacuumed — same contract as Delta's time travel.
+    """
+    committed = _committed_version(base)
+    if committed is None:
+        raise FileNotFoundError(f"no committed snapshot under {base}")
+    target = committed if version is None else version
+    if target > committed or target < 0:
+        raise FileNotFoundError(f"version {target} not committed (latest {committed})")
+    vdir = os.path.join(base, f"v={target}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"version {target} vacuumed from {base}")
+    return spark.read.parquet(vdir)
+
+
+def rollback(base: str, version: int) -> int:
+    """RESTORE TO VERSION AS OF: re-point `_latest` at an older version.
+
+    The restored version becomes the committed state. Newer version dirs
+    stay on disk but are NOT readable while above the pointer (readers
+    refuse versions beyond the commit point — they are indistinguishable
+    from crashed commits without a log); once a later commit advances the
+    pointer past them they become history again. Subsequent
+    commit_snapshot calls always allocate a fresh directory above every
+    existing one, so no version is ever rewritten.
+    """
+    if not os.path.isdir(os.path.join(base, f"v={version}")):
+        raise FileNotFoundError(f"version {version} missing under {base}")
+    tmp = os.path.join(base, f"{_POINTER}.tmp.rb{version}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(base, _POINTER))
+    return version
+
+
+def vacuum(base: str, keep_last: int = 2) -> list[int]:
+    """Drop version directories older than the newest ``keep_last``, never
+    the committed one. Also collects orphan (crashed, never-committed)
+    directories NEWER than the pointer. Returns dropped versions."""
+    committed = _committed_version(base)
+    if committed is None:
+        return []
+    versions = _versions(base)
+    keep = set(versions[-keep_last:]) | {committed}
+    # orphans: dirs above the pointer were never published (crashed commit)
+    orphans = {v for v in versions if v > committed}
+    dropped = []
+    for v in versions:
+        if v in orphans or v not in keep:
+            if v == committed:
+                continue
+            shutil.rmtree(os.path.join(base, f"v={v}"))
+            dropped.append(v)
+    return dropped

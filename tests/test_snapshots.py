@@ -1,0 +1,69 @@
+"""Versioned-snapshot tables: commit / time travel / rollback / vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from shortvideohybridanalyticslakehouse_spark.plans import snapshots
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(i,) for i in vals], "x long")
+
+
+def _vals(df):
+    return sorted(r.x for r in df.collect())
+
+
+def test_commit_and_time_travel(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    v0 = snapshots.commit_snapshot(_df(spark, [1, 2]), base)
+    v1 = snapshots.commit_snapshot(_df(spark, [1, 2, 3]), base)
+    assert (v0, v1) == (0, 1)
+    assert _vals(snapshots.read_snapshot(spark, base)) == [1, 2, 3]
+    assert _vals(snapshots.read_snapshot(spark, base, version=0)) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        snapshots.read_snapshot(spark, base, version=2)
+
+
+def test_rollback_restores_and_continues(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    snapshots.commit_snapshot(_df(spark, [1]), base)
+    snapshots.commit_snapshot(_df(spark, [1, 2]), base)
+    snapshots.rollback(base, 0)
+    assert _vals(snapshots.read_snapshot(spark, base)) == [1]
+    # a new commit after rollback advances from the restored pointer but
+    # must not clobber the surviving v=1 directory
+    v = snapshots.commit_snapshot(_df(spark, [9]), base)
+    assert v == 2  # advances past the surviving v=1, never reuses a dir
+    assert _vals(snapshots.read_snapshot(spark, base)) == [9]
+    # pre-rollback history is still readable (Delta RESTORE keeps history)
+    assert _vals(snapshots.read_snapshot(spark, base, version=1)) == [1, 2]
+
+
+def test_uncommitted_version_invisible(spark, tmp_path):
+    # simulate a crashed commit: data dir exists, pointer never swapped
+    base = str(tmp_path / "tbl")
+    snapshots.commit_snapshot(_df(spark, [1]), base)
+    _df(spark, [42]).write.parquet(os.path.join(base, "v=7"))
+    assert _vals(snapshots.read_snapshot(spark, base)) == [1]
+    with pytest.raises(FileNotFoundError):
+        snapshots.read_snapshot(spark, base, version=7)
+    # vacuum collects the orphan
+    dropped = snapshots.vacuum(base, keep_last=5)
+    assert 7 in dropped
+    assert not os.path.isdir(os.path.join(base, "v=7"))
+
+
+def test_vacuum_keeps_committed_and_recent(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshots.commit_snapshot(_df(spark, list(range(i + 1))), base)
+    dropped = snapshots.vacuum(base, keep_last=2)
+    assert dropped == [0, 1]
+    assert _vals(snapshots.read_snapshot(spark, base)) == [0, 1, 2, 3]
+    with pytest.raises(FileNotFoundError):
+        snapshots.read_snapshot(spark, base, version=0)
+    assert _vals(snapshots.read_snapshot(spark, base, version=2)) == [0, 1, 2]
