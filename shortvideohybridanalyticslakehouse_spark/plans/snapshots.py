@@ -147,3 +147,60 @@ def vacuum(base: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(base, f"v={v}"))
             dropped.append(v)
     return dropped
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    base: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level changelog between two committed versions — the Delta CDF /
+    Iceberg changelog surface: one row per changed key with
+    ``_change_type`` in {insert, delete, update_preimage, update_postimage}.
+
+    Plan: FULL OUTER join of the two snapshots on the key (one
+    co-partitioned shuffle per side; at scale both versions share the
+    write-time layout, so bucketed snapshot writes make this
+    exchange-free), non-key columns compared null-safely via eqNullSafe.
+    Unchanged keys drop out before the union doubles update rows.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, base, v_from)
+    new = read_snapshot(spark, base, v_to)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema changed between v{v_from} and v{v_to}: "
+            f"{sorted(old.columns)} vs {sorted(new.columns)} — diff requires "
+            "aligned schemas (run the align.ensure_contract migration first)"
+        )
+    o = old.alias("o")
+    n = new.alias("n")
+    on = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    same = None
+    for c in val_cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    if same is None:
+        same = F.lit(True)
+
+    def _side(keep, side: str, change: str) -> DataFrame:
+        cols = [F.col(f"{side}.{c}").alias(c) for c in new.columns]
+        return j.filter(keep).select(*cols, F.lit(change).alias("_change_type"))
+
+    upd = in_old & in_new & ~same
+    return (
+        _side(in_new & ~in_old, "n", "insert")
+        .unionByName(_side(in_old & ~in_new, "o", "delete"))
+        .unionByName(_side(upd, "o", "update_preimage"))
+        .unionByName(_side(upd, "n", "update_postimage"))
+    )

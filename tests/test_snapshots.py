@@ -67,3 +67,29 @@ def test_vacuum_keeps_committed_and_recent(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snapshots.read_snapshot(spark, base, version=0)
     assert _vals(snapshots.read_snapshot(spark, base, version=2)) == [0, 1, 2]
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    v0 = snapshots.commit_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        base,
+    )
+    v1 = snapshots.commit_snapshot(
+        spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], "k long, v string"
+        ),
+        base,
+    )
+    rows = {
+        (r.k, r.v, r._change_type)
+        for r in snapshots.snapshot_diff(spark, base, v0, v1, ["k"]).collect()
+    }
+    assert rows == {
+        (1, "a", "delete"),
+        (3, "c", "update_preimage"),
+        (3, "C", "update_postimage"),
+        (4, "d", "insert"),
+    }  # unchanged key 2 emits nothing
