@@ -292,3 +292,30 @@ def annotate_cdc_errors(df: DataFrame) -> DataFrame:
     code = first_match_case([(cond, v[0]) for cond, v in cases])
     reason = first_match_case([(cond, v[1]) for cond, v in cases])
     return df.withColumn("error_code", code).withColumn("error_reason", reason)
+
+
+def observe_contract_metrics(df: DataFrame, name: str = "contract_metrics") -> DataFrame:
+    """Attach single-pass data-quality counters via ``DataFrame.observe``.
+
+    ``observe`` piggybacks aggregates onto the EXISTING job — the counters
+    (rows seen, contract errors, parse failures, null event types) come
+    back through the observation/QueryListener channel with ZERO extra
+    scans, where a naive DQ report would re-run the pipeline once per
+    metric. This is the mechanism behind the reference's per-batch DQ
+    counters (SURVEY §2.9's run-summary counts) done the Spark-native way;
+    in Structured Streaming the same call surfaces per-micro-batch metrics
+    in StreamingQueryProgress.observedMetrics.
+
+    Call AFTER annotate_content_errors (needs ``error_code``); read the
+    values with ``pyspark.sql.Observation`` (batch) or the progress events
+    (streaming).
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("error_code").isNotNull()).alias("contract_errors"),
+        F.count_if(F.col("error_code") == F.lit(C.ERR_PARSE)).alias(
+            "parse_failures"
+        ),
+        F.count_if(F.col("event_type").isNull()).alias("null_event_types"),
+    )
