@@ -660,3 +660,75 @@ def lsh_bucket_topk_pairs(
         .orderBy(F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-query brute-force cosine top-k: ONE corpus pass serves the
+    whole query set. The scale-probe finding this implements: the Arrow
+    GEMM loses to the JVM fold on a single query because shipping the
+    corpus through Arrow costs more than the numpy win — but the shipment
+    amortizes over queries, and the per-batch work becomes one
+    (batch x dim) @ (dim x n_queries) matmul instead of n_queries
+    separate scans. This is the production ANN shape (search traffic
+    arrives in batches), and the exact-scan baseline for recall checks.
+
+    Each Arrow batch emits only its local top-k PER QUERY (bounded output:
+    k x n_queries x n_batches rows); the global winners come from a tiny
+    per-query window. Self-matches (corpus id == query id) are excluded.
+    Output: (query_id, vec_id, cosine_sim) ordered per query by
+    (sim DESC rounded, id ASC) — ties resolve identically to the
+    per-query HOF/oracle plans.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            normed = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            sims = np.round(normed @ Qn.T, round_to)  # (batch, n_queries)
+            outs = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                keep = ids != qid
+                cids, csims = ids[keep], col[keep]
+                top = np.lexsort((cids, -csims))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(top), qid, dtype=np.int64),
+                            id_col: cids[top],
+                            "cosine_sim": csims[top],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score, f"query_id long, {id_col} long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("cosine_sim").desc(), F.col(id_col).asc())
+    )

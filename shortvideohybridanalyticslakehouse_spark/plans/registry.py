@@ -58,6 +58,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext32,
         queries_ext33,
         queries_ext34,
+        queries_ext35,
     )
 
     return REGISTRY
