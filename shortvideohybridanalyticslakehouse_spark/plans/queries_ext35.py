@@ -55,3 +55,59 @@ def q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = [(r[0], list(r[1])) for r in qrows]
     return similarity.cosine_topk_batch(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Unconverted clicks: the LEFT OUTER channel of the stream-stream join
+# ---------------------------------------------------------------------------
+
+from shortvideohybridanalyticslakehouse_spark.streaming.jobs import (  # noqa: E402
+    interval_attribution_plan,
+)
+
+_UNCONVERTED_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
+), p AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS unconverted_clicks
+FROM c
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = c.user_id
+    AND p.ts >= c.ts
+    AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+GROUP BY 1 ORDER BY c.user_id
+"""
+
+
+@register("attribution_unconverted_clicks", _UNCONVERTED_ORACLE)
+def q_unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unconverted clicks per user: the LEFT OUTER arm of the stream-stream
+    interval join (streaming/jobs.py:interval_attribution_plan with
+    how='left_outer'), filtered to the null-extended rows — each is a
+    click the engine PROVED unconvertible within its 10-minute window.
+    Same plan function as the streaming job (where the null row emits
+    only once both watermarks pass click_ts + window — asserted in
+    tests/test_streaming_interval_join.py); the batch oracle is the
+    equivalent NOT EXISTS.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    pairs = interval_attribution_plan(
+        clicks, purchases, key="user_id", window_minutes=10, how="left_outer"
+    )
+    return (
+        pairs.filter(F.col("purchase_id").isNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("unconverted_clicks"))
+        .orderBy("user_id")
+    )

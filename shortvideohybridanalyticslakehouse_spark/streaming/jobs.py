@@ -303,6 +303,7 @@ def interval_attribution_plan(
     key: str = "user_id",
     window_minutes: int = 10,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER interval join: each purchase is attributed to
     every click by the same key whose event-time precedes it by at most
@@ -318,6 +319,13 @@ def interval_attribution_plan(
     static dims only); this is extension surface per the Spark-first
     brief. At scale: one shuffle of each stream on the key; per-key state
     is bounded by the interval, so executors hold O(rate x window) rows.
+
+    ``how="left_outer"`` adds the unconverted-click channel: a click with
+    NO purchase inside its window emits once WITH NULL purchase columns —
+    but only after BOTH watermarks pass (click_ts + window), when the
+    engine can prove no match can still arrive. Streaming left-outer
+    REQUIRES the watermark + both-side time bound for exactly that proof;
+    batch mode needs neither and emits immediately.
     """
     lhs, rhs = clicks.alias("c"), purchases.alias("p")
     if watermark is not None:
@@ -328,7 +336,7 @@ def interval_attribution_plan(
         & (F.col("p.ts") >= F.col("c.ts"))
         & (F.col("p.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {window_minutes} MINUTES"))
     )
-    return lhs.join(rhs, cond, "inner").select(
+    return lhs.join(rhs, cond, how).select(
         F.col(f"c.{key}").alias(key),
         F.col("c.event_id").alias("click_id"),
         F.col("c.ts").alias("click_ts"),

@@ -106,3 +106,71 @@ def test_interval_join_state_cleanup_condition_in_plan(spark, tmp_path):
     )
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_streaming_left_outer_emits_unconverted_after_watermark(spark, tmp_path):
+    """LEFT OUTER arm: a click with no purchase in its window must emit a
+    null-extended row — but only once the watermark has provably passed
+    click_ts + window. Run 1 processes the base data (watermark still
+    behind — no null rows may appear for fresh clicks); run 2 feeds
+    far-future rows through the SAME checkpoint, advancing the watermark
+    and flushing the evicted state."""
+    clicks_dir = os.path.join(str(tmp_path), "clicks3")
+    purch_dir = os.path.join(str(tmp_path), "purch3")
+    out = os.path.join(str(tmp_path), "out3")
+    ckpt = os.path.join(str(tmp_path), "ckpt3")
+    os.makedirs(clicks_dir)
+    os.makedirs(purch_dir)
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def add_batch(target_dir, rows, tag):
+        # file stream sources don't recurse: land part files FLAT in the dir
+        staging = os.path.join(str(tmp_path), f"_stage_{tag}_{os.path.basename(target_dir)}")
+        spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(staging)
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+        ):
+            _shutil.move(part, os.path.join(target_dir, f"{tag}-{i}.parquet"))
+        _shutil.rmtree(staging)
+
+    # base batch: user 9 clicks, never purchases; user 7 clicks + converts
+    add_batch(clicks_dir, [(1, _BASE, 7, 0.0), (4, _BASE, 9, 0.0)], "b0")
+    add_batch(purch_dir, [(101, _BASE + dt.timedelta(minutes=5), 7, 10.0)], "b0")
+
+    def run():
+        clicks_s = spark.readStream.schema(_SCHEMA).parquet(clicks_dir)
+        purch_s = spark.readStream.schema(_SCHEMA).parquet(purch_dir)
+        joined = jobs.interval_attribution_plan(
+            clicks_s,
+            purch_s,
+            window_minutes=10,
+            watermark="2 minutes",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # far-future batch on BOTH sides pushes the watermark past every base
+    # click's window in the next run
+    late = _BASE + dt.timedelta(hours=2)
+    add_batch(clicks_dir, [(5, late, 7, 0.0)], "b1")
+    add_batch(purch_dir, [(199, late, 8, 1.0)], "b1")
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    nulls = {(r.click_id, r.purchase_id) for r in rows if r.purchase_id is None}
+    inner = {(r.click_id, r.purchase_id) for r in rows if r.purchase_id is not None}
+    assert (4, None) in nulls, "unconverted click never flushed"
+    assert (1, 101) in inner
+    # the converted click must NOT also emit a null row
+    assert (1, None) not in nulls
