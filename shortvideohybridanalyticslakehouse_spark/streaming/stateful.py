@@ -191,3 +191,68 @@ def restore_confs(spark, prev: dict[str, str | None]) -> None:
             spark.conf.unset(k)
         else:
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Event-time TIMEOUT state: abandoned-session detection
+# ---------------------------------------------------------------------------
+
+ABANDONED_SCHEMA = "user_id string, last_seen_epoch bigint, n_events bigint"
+ABANDONED_STATE = "last_epoch bigint, n bigint"
+
+
+def abandoned_session_detect(
+    events: DataFrame, idle_minutes: int = 30
+) -> DataFrame:
+    """Emit a row for every user whose activity STOPS: once the event-time
+    watermark passes last_seen + idle_minutes with no new events, the
+    state TIMES OUT and the operator emits (user, last_seen, n_events) —
+    the abandoned-cart/session-drop primitive.
+
+    This is the state-timeout half of applyInPandasWithState that the
+    cooldown operator (NoTimeout) doesn't exercise: the engine calls the
+    function WITHOUT input rows when the timeout fires (state.hasTimedOut),
+    which is the only scalable way to detect absence — polling per user
+    would be O(users) per batch; here the state store's timer index does
+    it. State per key: one (epoch, count) pair, evicted on emission.
+    """
+    idle_s = idle_minutes * 60
+
+    def fn(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen_epoch": [int(last)],
+                    "n_events": [int(n)],
+                }
+            )
+            return
+        last, n = (state.get if state.exists else (0, 0))
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            last = max(last, int(pdf["created_epoch"].max()))
+        state.update((last, n))
+        # timer: fire when the WATERMARK passes last_seen + idle window
+        state.setTimeoutTimestamp((last + idle_s) * 1000)
+        return
+        yield  # pragma: no cover - generator form required by the API
+
+    prepared = events.select(
+        "user_id",
+        F.col("created_at").cast("long").alias("created_epoch"),
+        F.col("created_at").alias("ts"),
+    ).withWatermark("ts", "1 minute")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        ABANDONED_SCHEMA,
+        ABANDONED_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -172,3 +172,66 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert final_epoch == int(
         _dt.datetime(2026, 1, 1, 0, 16, tzinfo=_dt.timezone.utc).timestamp()
     )
+
+
+def test_event_time_timeout_emits_abandoned_sessions(spark, tmp_path):
+    """EventTimeTimeout: a user whose activity stops must be emitted once
+    the watermark passes last_seen + idle window — driven by the state
+    store's timer, not by new input for that key."""
+    src = os.path.join(str(tmp_path), "abandon_in")
+    os.makedirs(src)
+    # batch 1: u1 active twice, u2 once — all around t0
+    _write(
+        os.path.join(src, "part-0000.jsonl"),
+        [
+            {"user_id": "u1", "t": "2026-01-01 00:00:00"},
+            {"user_id": "u1", "t": "2026-01-01 00:05:00"},
+            {"user_id": "u2", "t": "2026-01-01 00:06:00"},
+        ],
+        mtime=1_700_000_000,
+    )
+    # batch 2: only u2 stays active, far later -> watermark jumps past
+    # u1's last_seen + 30 min -> u1 times out; u2's timer re-arms
+    _write(
+        os.path.join(src, "part-0001.jsonl"),
+        [{"user_id": "u2", "t": "2026-01-01 02:00:00"}],
+        mtime=1_700_000_060,
+    )
+    # batch 3: push the watermark past u2's idle window too
+    _write(
+        os.path.join(src, "part-0002.jsonl"),
+        [{"user_id": "u3", "t": "2026-01-01 05:00:00"}],
+        mtime=1_700_000_120,
+    )
+    raw = jobs.read_json_file_stream(spark, src, max_files_per_trigger=1)
+    parsed = raw.select(
+        F.get_json_object("raw_value", "$.user_id").alias("user_id"),
+        F.to_timestamp(F.get_json_object("raw_value", "$.t")).alias("created_at"),
+    )
+    out = stateful.abandoned_session_detect(parsed, idle_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("abandoned")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "abandon_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import datetime as _dt
+
+    def epoch(s):
+        return int(
+            _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+
+    rows = {
+        (r.user_id, r.last_seen_epoch, r.n_events)
+        for r in spark.sql("select * from abandoned").collect()
+    }
+    assert ("u1", epoch("2026-01-01 00:05:00"), 2) in rows
+    assert ("u2", epoch("2026-01-01 02:00:00"), 2) in rows
+    # u3 arrived last — watermark never passed its idle window
+    assert not any(u == "u3" for u, _, _ in rows)
