@@ -59,6 +59,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext33,
         queries_ext34,
         queries_ext35,
+        queries_ext36,
     )
 
     return REGISTRY
