@@ -107,3 +107,70 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture shares (tau-sampling)
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT source, tokens,
+         CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6) AS DECIMAL(28,6)) AS powed,
+         sum(tokens) OVER () AS tot_raw,
+         sum(CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6) AS DECIMAL(28,6)))
+           OVER () AS tot_pow
+  FROM s
+)
+SELECT source, tokens,
+       round(CAST(tokens AS DOUBLE) / CAST(tot_raw AS DOUBLE), 6) AS raw_share,
+       round(CAST(powed AS DOUBLE) / CAST(tot_pow AS DOUBLE), 6) AS temp_share
+FROM t ORDER BY source
+"""
+
+
+@register("temperature_mixture_shares", _TEMP_MIX_ORACLE)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling shares (tau = 0.5, i.e. sqrt scaling —
+    the multilingual/pretraining standard for upweighting small sources
+    without letting any source dominate): share_i = tokens_i^tau / sum.
+    Raw share shown beside for the flattening comparison. One scan, one
+    O(sources) aggregate; the window totals run over the aggregated grain
+    (O(sources) rows — a deliberate tiny-side window, not a data-scale
+    one). Determinism: the raw total is an EXACT bigint sum; the
+    temperature total quantizes each sqrt to DECIMAL(28,6) before summing
+    so the cross-row accumulation is reassociation-safe — a plain double
+    window sum would depend on partition order on both engines.
+    """
+    s = load_table(spark, sf_dir, "documents", ensure_parallelism=True).groupBy(
+        "source"
+    ).agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    powed = F.round(F.sqrt(F.col("tokens").cast("double")), 6).cast(
+        "decimal(28,6)"
+    )
+    t = s.select(
+        "source",
+        "tokens",
+        powed.alias("powed"),
+        F.sum("tokens").over(w).alias("tot_raw"),
+        F.sum(powed).over(w).alias("tot_pow"),
+    )
+    return t.select(
+        "source",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double") / F.col("tot_raw").cast("double"), 6
+        ).alias("raw_share"),
+        F.round(
+            F.col("powed").cast("double") / F.col("tot_pow").cast("double"), 6
+        ).alias("temp_share"),
+    ).orderBy("source")

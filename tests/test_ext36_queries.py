@@ -29,3 +29,21 @@ def test_containment_subset_beats_jaccard(spark, tmp_path):
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert r.max_containment == 1.0
     assert r.jaccard == 0.25
+
+
+def test_temperature_mixture_flattens(spark, tmp_path):
+    # sources with 400 vs 100 tokens: raw shares .8/.2; sqrt-temperature
+    # shares 20/(20+10)=2/3 and 1/3 — smaller source upweighted.
+    def doc(i, n, src):
+        return (i, " ".join(f"t{j}" for j in range(n)), "en", src, 0)
+
+    spark.createDataFrame(
+        [doc(1, 400, "big"), doc(2, 100, "small")],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    fn, _ = REGISTRY["temperature_mixture_shares"]
+    got = {r.source: (r.tokens, r.raw_share, r.temp_share) for r in fn(
+        spark, str(tmp_path)
+    ).collect()}
+    assert got["big"] == (400, 0.8, round(20 / 30, 6))
+    assert got["small"] == (100, 0.2, round(10 / 30, 6))
