@@ -204,3 +204,46 @@ def snapshot_diff(
         .unionByName(_side(upd, "o", "update_preimage"))
         .unionByName(_side(upd, "n", "update_postimage"))
     )
+
+
+def audited_commit(
+    df: DataFrame,
+    base: str,
+    checks: "list",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write-Audit-Publish: stage the new version, run every audit against
+    the STAGED files (what readers would actually see), and swap the
+    pointer only if all pass. On failure the staged directory is left
+    unpublished (an orphan `vacuum` collects) and AssertionError raises —
+    the committed table never moves. This is the WAP pattern Iceberg
+    ships as branch+publish, on the same pointer mechanics as
+    commit_snapshot.
+
+    ``checks``: callables DataFrame -> bool, each applied to the staged
+    data re-read from disk (not the input plan — audits must see
+    post-serialization reality: dropped columns, type coercions, file
+    corruption).
+    """
+    os.makedirs(base, exist_ok=True)
+    current = _committed_version(base)
+    existing = _versions(base)
+    version = max([current if current is not None else -1, *existing, -1]) + 1
+    vdir = os.path.join(base, f"v={version}")
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
+    staged = df.sparkSession.read.parquet(vdir)
+    for i, check in enumerate(checks):
+        if not check(staged):
+            raise AssertionError(
+                f"audit {i} ({getattr(check, '__name__', 'check')}) failed for "
+                f"staged v={version} of {base}; table remains at "
+                f"v={current} (staged dir left for inspection/vacuum)"
+            )
+    tmp = os.path.join(base, f"{_POINTER}.tmp.{version}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(base, _POINTER))
+    return version

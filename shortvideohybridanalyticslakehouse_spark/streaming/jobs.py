@@ -441,3 +441,98 @@ def start_session_window_job(
         .trigger(**trigger)
         .start()
     )
+
+
+def incremental_near_dup_plan(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """STREAM-STATIC join: incoming documents checked for near-duplicates
+    against a pre-built corpus signature index, the incremental-ingest
+    shape of the dedup pipeline (the batch pipeline rebuilds all pairs;
+    here only the NEW side streams).
+
+    ``index`` is the static banded corpus — (doc_id, band_id, band_hash,
+    minhash) rows built once by build_near_dup_index() and re-read per
+    micro-batch (stream-static joins re-evaluate the static side's plan
+    each batch, so an index refreshed on disk is picked up without
+    restart). New docs compute signatures with the IN-ROW higher-order
+    form (with_minhash — per-row expressions, no aggregation: the
+    explode+agg signature path is a streaming AGGREGATION and would
+    demand a watermark; stream batches are small so the interpreted HOF
+    cost is irrelevant here), explode to bands, and equi-join the index
+    on (band_id, band_hash) — shuffle ∝ batch x bands, with the candidate
+    estimate filtered by signature agreement exactly like the batch path.
+
+    Output: (new_id, corpus_id, est_jaccard) per candidate. The
+    dropDuplicates is state-backed on a stream: a re-ingested (new,
+    corpus) pair will not re-emit across batches — the semantics an
+    ingest pipeline wants.
+    """
+    from shortvideohybridanalyticslakehouse_spark.functions import dedupfns
+
+    with_sig = dedupfns.with_minhash(
+        new_docs.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        out_col="minhash",
+    )
+    banded_new = with_sig.select(
+        F.col(id_col).alias("new_id"),
+        F.col("minhash").alias("sig_new"),
+        F.explode(
+            dedupfns.lsh_bands(F.col("minhash"), num_hashes, band_size)
+        ).alias("band"),
+    ).select("new_id", "sig_new", "band.band_id", "band.band_hash")
+    cand = (
+        banded_new.join(index, ["band_id", "band_hash"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id", "sig_new", "sig_corpus")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("sig_new"), F.col("sig_corpus"), lambda x, y: x == y
+            ),
+            lambda v: v,
+        )
+    )
+    return cand.select(
+        "new_id",
+        "corpus_id",
+        F.round(agree.cast("double") / F.lit(float(num_hashes)), 6).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+def build_near_dup_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """The static side for incremental_near_dup_plan: banded corpus
+    signatures — write this to parquet (bucketed by band_hash for a
+    co-located join at scale) and point the stream-static join at it."""
+    from shortvideohybridanalyticslakehouse_spark.functions import dedupfns
+
+    with_sig = dedupfns.minhash_signatures_df(
+        docs, id_col, text_col, k=k, num_hashes=num_hashes, out_col="minhash"
+    )
+    return with_sig.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("minhash").alias("sig_corpus"),
+        F.explode(
+            dedupfns.lsh_bands(F.col("minhash"), num_hashes, band_size)
+        ).alias("band"),
+    ).select("corpus_id", "sig_corpus", "band.band_id", "band.band_hash")

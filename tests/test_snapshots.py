@@ -93,3 +93,26 @@ def test_snapshot_diff_changelog(spark, tmp_path):
         (3, "C", "update_postimage"),
         (4, "d", "insert"),
     }  # unchanged key 2 emits nothing
+
+
+def test_audited_commit_blocks_bad_publish(spark, tmp_path):
+    import pytest as _pytest
+
+    base = str(tmp_path / "tbl")
+    snapshots.commit_snapshot(_df(spark, [1, 2, 3]), base)
+
+    def non_empty(d):
+        return d.count() > 0
+
+    def no_negatives(d):
+        return d.filter("x < 0").count() == 0
+
+    # good data publishes
+    v = snapshots.audited_commit(_df(spark, [4, 5]), base, [non_empty, no_negatives])
+    assert _vals(snapshots.read_snapshot(spark, base)) == [4, 5]
+    # bad data: audit fails -> pointer UNMOVED, staged dir left as orphan
+    with _pytest.raises(AssertionError, match="no_negatives"):
+        snapshots.audited_commit(_df(spark, [-1]), base, [non_empty, no_negatives])
+    assert _vals(snapshots.read_snapshot(spark, base)) == [4, 5]
+    dropped = snapshots.vacuum(base, keep_last=5)
+    assert v + 1 in dropped  # the failed stage collected as an orphan
