@@ -60,6 +60,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext34,
         queries_ext35,
         queries_ext36,
+        queries_ext37,
     )
 
     return REGISTRY
