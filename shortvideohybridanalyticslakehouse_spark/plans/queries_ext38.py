@@ -1,0 +1,156 @@
+"""Extension queries, round 38: PageRank over the near-dup similarity
+graph — the second iterative-algorithm family (connected components being
+the first), with a fully SQL-reproducible fixed-iteration oracle.
+
+Determinism for an iterative double algorithm: every cross-row
+accumulation (the per-target contribution sum) happens in DECIMAL over
+per-row values that were QUANTIZED (round 12) as doubles first, and each
+iteration's rank is re-quantized — so partition order cannot perturb a
+single bit, and DuckDB replays the identical arithmetic through chained
+CTEs. Three iterations, damping 0.85, degree-normalized push.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.functions import dedupfns
+from shortvideohybridanalyticslakehouse_spark.plans.queries_ext import (
+    _DUCK_BASES,
+    _duck_shingles,
+)
+from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+_DAMP = "0.85"
+_BASE = "0.15"
+_ITERS = 3
+
+
+def _duck_iter(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.doc_id,
+         CAST(round({_BASE} + {_DAMP} * CAST(coalesce(s.acc, 0) AS DOUBLE), 12)
+              AS DECIMAL(28,12)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS doc_id,
+           sum(CAST(round(CAST(p.rank AS DOUBLE) / d.deg, 12)
+               AS DECIMAL(28,12))) AS acc
+    FROM edges e
+    JOIN {prev} p ON p.doc_id = e.src
+    JOIN degrees d ON d.doc_id = e.src
+    GROUP BY 1
+  ) s ON s.doc_id = n.doc_id
+)"""
+
+
+_PAGERANK_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles(2)} AS shs FROM documents
+), bases AS (
+  SELECT doc_id, {_DUCK_BASES.format(shs='shs')} AS hs FROM sh
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(hs,
+        h -> ((7919 * i + 1) * h + 104729 * i) % 1000000007))) AS sig
+  FROM bases
+), banded AS (
+  SELECT doc_id, sig, b AS band_id,
+         md5(CAST(sig[2*b + 1] AS VARCHAR) || '|'
+             || CAST(sig[2*b + 2] AS VARCHAR)) AS band_hash
+  FROM sig, range(0, 8) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE len(list_filter(range(1, 17),
+        i -> a.sig[i] = b.sig[i])) >= 4
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT doc_id FROM documents
+), degrees AS (
+  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), it0 AS (
+  SELECT doc_id, CAST(1.0 AS DECIMAL(28,12)) AS rank FROM nodes
+),{_duck_iter('it0', 'it1')},{_duck_iter('it1', 'it2')},{_duck_iter('it2', 'it3')}
+SELECT doc_id, round(CAST(rank AS DOUBLE), 9) AS pagerank
+FROM it3
+ORDER BY pagerank DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@register("doc_similarity_pagerank", _PAGERANK_ORACLE)
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by PageRank over the MinHash-LSH similarity graph
+    (edges: candidate pairs with signature agreement >= 4/16, symmetric;
+    dangling/isolated docs keep the base rank). Centrality here surfaces
+    TEMPLATE documents — the hubs of near-dup neighborhoods a curation
+    pass should inspect first.
+
+    Plan per iteration: one join of the edge list against the O(nodes)
+    rank relation + a grouped decimal sum — both shuffles on doc keys;
+    the driver loop is a fixed 3 unrolled iterations (no convergence
+    fetch). Edge derivation reuses the banded-LSH candidate path (shuffle
+    ∝ docs x bands).
+    """
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    with_sig = dedupfns.minhash_signatures_df(
+        docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
+    )
+    pairs = (
+        dedupfns.minhash_candidate_pairs(
+            with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
+        )
+        .filter(F.col("est_jaccard") * 16 >= 4)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.persist()
+    nodes = docs.select("doc_id").distinct()
+    degrees = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    rank = nodes.withColumn("rank", F.lit("1.0").cast("decimal(28,12)"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(rank.withColumnRenamed("doc_id", "src"), "src")
+            .join(degrees.withColumnRenamed("doc_id", "src"), "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.round(F.col("rank").cast("double") / F.col("deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("contrib"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("acc"))
+        )
+        rank = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            F.round(
+                F.lit(float(_BASE))
+                + F.lit(float(_DAMP))
+                * F.coalesce(F.col("acc"), F.lit(0)).cast("double"),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("rank"),
+        )
+    return (
+        rank.select(
+            "doc_id", F.round(F.col("rank").cast("double"), 9).alias("pagerank")
+        )
+        .orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -61,6 +61,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext35,
         queries_ext36,
         queries_ext37,
+        queries_ext38,
     )
 
     return REGISTRY
