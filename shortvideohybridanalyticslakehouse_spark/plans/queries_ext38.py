@@ -154,3 +154,130 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count / clustering coefficient on the similarity graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles(2)} AS shs FROM documents
+), bases AS (
+  SELECT doc_id, {_DUCK_BASES.format(shs='shs')} AS hs FROM sh
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16),
+      i -> list_min(list_transform(hs,
+        h -> ((7919 * i + 1) * h + 104729 * i) % 1000000007))) AS sig
+  FROM bases
+), banded AS (
+  SELECT doc_id, sig, b AS band_id,
+         md5(CAST(sig[2*b + 1] AS VARCHAR) || '|'
+             || CAST(sig[2*b + 2] AS VARCHAR)) AS band_hash
+  FROM sig, range(0, 8) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE len(list_filter(range(1, 17),
+        i -> a.sig[i] = b.sig[i])) >= 4
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1
+), oriented AS (
+  SELECT e.u, e.v FROM und e
+  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  WHERE (du.d, e.u) < (dv.d, e.v)
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.v
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+), wedges AS (
+  SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n FROM deg
+)
+SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       tri.n AS n_triangles,
+       wedges.n AS n_wedges,
+       round(CASE WHEN wedges.n = 0 THEN 0.0
+                  ELSE 3.0 * tri.n / wedges.n END, 6)
+         AS global_clustering
+FROM tri, wedges
+"""
+
+
+@register("similarity_graph_triangles", _TRIANGLE_ORACLE)
+def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    graph — the transitivity diagnostic (near-dup SHOULD be near-
+    transitive; a low coefficient means the LSH threshold is admitting
+    chains of weak links, exactly what canonical-survivor dedup
+    over-merges on). Degree-ordered edge orientation bounds the wedge
+    join by each node's FORWARD degree — the standard distributed
+    triangle shape (work ∝ Σ d_fwd², never Σ d² on hub nodes).
+    """
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    with_sig = dedupfns.minhash_signatures_df(
+        docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
+    )
+    pairs = (
+        dedupfns.minhash_candidate_pairs(
+            with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
+        )
+        .filter(F.col("est_jaccard") * 16 >= 4)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    und = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    oriented = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .persist()
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.select(
+        F.col("u").alias("mid"), F.col("v").alias("w")
+    ).alias("e2")
+    closing = oriented.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv")
+    ).alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("mid"))
+        .join(
+            closing,
+            (F.col("cu") == F.col("e1.u")) & (F.col("cv") == F.col("w")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges")
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
