@@ -62,6 +62,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext36,
         queries_ext37,
         queries_ext38,
+        queries_ext39,
     )
 
     return REGISTRY
