@@ -247,3 +247,26 @@ def audited_commit(
         f.write(str(version))
     os.replace(tmp, os.path.join(base, _POINTER))
     return version
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    base: str,
+    target_files: int = 1,
+    sort_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE / small-file compaction as a snapshot commit: read the
+    committed version, rewrite it as ``target_files`` files (optionally
+    re-sorted for clustering), and publish the rewrite as a NEW version —
+    data-identical, layout-improved, with the old layout still
+    time-travelable. This is the maintenance half of a lakehouse the
+    streaming upsert path needs: micro-batch commits accrete small files
+    until scan cost is dominated by file-open overhead; compaction folds
+    them without blocking readers (the pointer swap is the only moment of
+    change, and it's atomic).
+    """
+    df = read_snapshot(spark, base)
+    compacted = df.repartition(target_files)
+    if sort_by:
+        compacted = compacted.sortWithinPartitions(*sort_by)
+    return commit_snapshot(compacted, base)

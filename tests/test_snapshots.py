@@ -116,3 +116,20 @@ def test_audited_commit_blocks_bad_publish(spark, tmp_path):
     assert _vals(snapshots.read_snapshot(spark, base)) == [4, 5]
     dropped = snapshots.vacuum(base, keep_last=5)
     assert v + 1 in dropped  # the failed stage collected as an orphan
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    import glob
+
+    base = str(tmp_path / "tbl")
+    # a fragmented commit: 8 partitions -> 8 parquet files
+    frag = spark.range(100).repartition(8).selectExpr("id AS x")
+    snapshots.commit_snapshot(frag, base)
+    v0_files = glob.glob(os.path.join(base, "v=0", "*.parquet"))
+    assert len(v0_files) == 8
+    v = snapshots.compact_snapshot(spark, base, target_files=1)
+    v1_files = glob.glob(os.path.join(base, f"v={v}", "*.parquet"))
+    assert len(v1_files) == 1
+    # data identical, old layout still time-travelable
+    assert _vals(snapshots.read_snapshot(spark, base)) == list(range(100))
+    assert _vals(snapshots.read_snapshot(spark, base, version=0)) == list(range(100))
