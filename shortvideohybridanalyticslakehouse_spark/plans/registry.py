@@ -63,6 +63,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext37,
         queries_ext38,
         queries_ext39,
+        queries_ext40,
     )
 
     return REGISTRY
