@@ -218,3 +218,25 @@ def write_zordered(
         .drop("_z")
     )
     clustered.write.mode("overwrite").partitionBy("zbucket").parquet(path)
+
+
+def zorder_value_nd(cols, bits: int = 10):
+    """N-dimensional Morton interleave: bit i of column j lands at position
+    i * n + j. Generalizes :func:`zorder_value` (the n=2 case, whose bit
+    layout it reproduces exactly for [x, y]) to composite clustering keys
+    — e.g. (user, day, value-band) — so one sort key bounds ALL dims'
+    min/max stats per file. Total bits = bits * n must fit a BIGINT
+    (bits * n <= 62).
+    """
+    n = len(cols)
+    if bits * n > 62:
+        raise ValueError(f"{bits} bits x {n} dims exceeds a signed BIGINT")
+    ins = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = None
+    for j, col in enumerate(ins):
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+            z = term if z is None else z + term
+    return z.cast("bigint")

@@ -86,3 +86,44 @@ def test_zorder_audit_bbox_bounded(spark, tmp_path):
         assert r.x_max - r.x_min <= 127
         assert r.y_max - r.y_min <= 127
         assert r.bbox_area <= 128 * 128
+
+
+def test_zorder_nd_matches_2d_and_bounds_3d(spark):
+    from shortvideohybridanalyticslakehouse_spark.plans.ddl import zorder_value_nd
+
+    # n=2 reproduces zorder_value bit-for-bit
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    ).select(
+        zorder_value("x", "y", bits=3).alias("z2"),
+        zorder_value_nd(["x", "y"], bits=3).alias("znd"),
+    )
+    assert df.filter(F.col("z2") != F.col("znd")).count() == 0
+
+    # 3-D: aligned prefix buckets bound EVERY dimension
+    pts = spark.createDataFrame(
+        [(x, y, w) for x in range(8) for y in range(8) for w in range(8)],
+        "x long, y long, w long",
+    ).withColumn("z", zorder_value_nd(["x", "y", "w"], bits=3))
+    # top 3 bits (one per dim) -> 8 octants of exactly a 4x4x4 cube each
+    stats = (
+        pts.groupBy(F.shiftright(F.col("z"), 6).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+            (F.max("w") - F.min("w")).alias("ws"),
+        )
+        .collect()
+    )
+    assert len(stats) == 8
+    assert all(r.n == 64 and r.xs == 3 and r.ys == 3 and r.ws == 3 for r in stats)
+
+
+def test_zorder_nd_rejects_overflow(spark):
+    import pytest
+
+    from shortvideohybridanalyticslakehouse_spark.plans.ddl import zorder_value_nd
+
+    with pytest.raises(ValueError):
+        zorder_value_nd(["a", "b", "c", "d"], bits=16)
