@@ -64,6 +64,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext38,
         queries_ext39,
         queries_ext40,
+        queries_ext41,
     )
 
     return REGISTRY
