@@ -65,6 +65,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext39,
         queries_ext40,
         queries_ext41,
+        queries_ext42,
     )
 
     return REGISTRY
