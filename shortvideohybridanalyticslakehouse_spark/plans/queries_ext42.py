@@ -94,3 +94,29 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow (pandas-free) brute-force ANN — same oracle as the HOF baseline
+# ---------------------------------------------------------------------------
+
+from shortvideohybridanalyticslakehouse_spark.functions import similarity  # noqa: E402
+from shortvideohybridanalyticslakehouse_spark.plans.queries_ext import (  # noqa: E402
+    _COSINE_TOPK_ORACLE,
+)
+
+
+@register("embedding_cosine_topk_arrow", _COSINE_TOPK_ORACLE)
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 via Spark 4's ``mapInArrow`` — the third
+    interchangeable plan for the same oracle (HOF baseline, mapInPandas
+    GEMV, and now the pandas-free Arrow path: RecordBatch buffers
+    flattened straight into one numpy reshape+GEMV, no Series
+    materialization). Proves the engine can hold ONE output contract
+    across three physical strategies spanning codegen and both Python
+    lanes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return similarity.cosine_topk_arrow(corpus, qvec, k=10)

@@ -28,3 +28,25 @@ def test_perplexity_buckets_order_and_balance(spark, tmp_path):
     # buckets 1-2 low-surprise, 4-5 high; bucket 3 straddles (one of each)
     bits = [r.avg_bits_per_token for r in out]
     assert bits == sorted(bits)
+
+
+def test_arrow_topk_agrees_with_hof(spark):
+    from pyspark.sql import functions as F
+
+    from shortvideohybridanalyticslakehouse_spark.functions import similarity
+    from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    arrow = [
+        (r.vec_id, r.cosine_sim)
+        for r in similarity.cosine_topk_arrow(corpus, qvec, k=7).collect()
+    ]
+    hof = [
+        (r.vec_id, r.cosine_sim)
+        for r in similarity.cosine_topk(
+            corpus, F.array(*[F.lit(x) for x in qvec]), k=7
+        ).collect()
+    ]
+    assert arrow == hof
