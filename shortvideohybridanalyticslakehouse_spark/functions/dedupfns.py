@@ -483,51 +483,160 @@ def verify_candidate_jaccard(
     return inter.withColumn("jaccard", jac).select("doc_a", "doc_b", "jaccard")
 
 
-def simhash_bucket_topk_pairs(
+# ---------------------------------------------------------------------------
+# Hot-bucket machinery shared by the banded pair scorers (simhash + LSH).
+#
+# A band bucket must fit one task; the synthetic corpus already shows one
+# 15-bit band bucket holding 30% of sf0.1 docs, and a boilerplate-heavy crawl
+# makes that arbitrarily worse. Three independent bounds compose:
+#   1. collapse_to_smallest_ids: global, LOSSLESS pre-shrink — for the
+#      top-k-pairs total order (metric, id_a, id_b) only the k+1 smallest ids
+#      per identical fingerprint can appear in the answer (any pair using a
+#      later id is dominated by >=k pairs with the same metric and smaller
+#      lexicographic ids), so mass-duplicate clusters reduce to k+1 rows
+#      BEFORE banding ever sees them.
+#   2. reband_hot_buckets: iterative Spark-side split — buckets whose
+#      member count exceeds ``bucket_cap`` explode on an extra level of
+#      fingerprint windows (a fresh partition of ALL fingerprint bits per
+#      level), so a giant bucket becomes many tasks, not one. Pigeonhole is
+#      preserved per level: a pair within hamming <= n_bands-1 keeps an
+#      intact window at every level and stays co-bucketed; only pairs
+#      ALREADY outside the banding guarantee can drop, and only once a
+#      bucket is past the cap (never at oracle scale: cap 8192 > sf0.1).
+#   3. blocked pair tiles in the Python scorer — a residual over-cap bucket
+#      (adversarial fingerprints that agree on every window chain) is scored
+#      in ``_PAIR_TILE``-sized blocks with a running top-k, so the m x m
+#      distance tile never materializes; peak extra memory is one
+#      tile^2 ndarray regardless of m.
+# ---------------------------------------------------------------------------
+
+_PAIR_TILE = 2048  # numpy block edge for the pair scorers (33 MB uint64 tile)
+
+
+def wrapped_window_bits(col: Column, start: int, width: int, n_bits: int) -> Column:
+    """``width`` bits of a non-negative ``n_bits``-wide BIGINT starting at
+    bit ``start``, wrapping modulo ``n_bits`` — pure shift/mask codegen."""
+    end = start + width
+    if end <= n_bits:
+        return F.shiftright(col, start).bitwiseAND(F.lit((1 << width) - 1))
+    lo_w = n_bits - start
+    hi_w = end - n_bits
+    lo = F.shiftright(col, start).bitwiseAND(F.lit((1 << lo_w) - 1))
+    hi = F.shiftleft(col.bitwiseAND(F.lit((1 << hi_w) - 1)), lo_w)
+    return lo.bitwiseOR(hi)
+
+
+def collapse_to_smallest_ids(
+    df: DataFrame, group_key: Column, id_col: str, keep: int
+) -> DataFrame:
+    """Keep the ``keep`` smallest ids per identical ``group_key`` (lossless
+    for any top-k pair list ordered (metric, id_a, id_b) when
+    ``keep >= k + 1`` — see the block comment above)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_key).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .drop("_rn")
+    )
+
+
+def reband_hot_buckets(
+    banded: DataFrame,
+    fp_col: str,
+    subband_value,
+    n_bands: int,
+    bucket_cap: int,
+    max_extra_levels: int,
+) -> DataFrame:
+    """Iteratively split buckets larger than ``bucket_cap`` on extra
+    fingerprint windows.
+
+    ``banded`` must carry a string ``bkey`` bucket-key column; members of a
+    hot bucket are exploded over ``n_bands`` extra windows per level with
+    ``bkey`` extended by (level, group, value) — ``subband_value(fp, lvl, g)``
+    returns group ``g``'s window value at level ``lvl`` and MUST come from a
+    partition of all fingerprint bits into ``n_bands`` groups (that is what
+    preserves the pigeonhole radius). The loop is driver-bounded: one
+    group-count job per level, at most ``max_extra_levels`` levels, early
+    exit as soon as no bucket is hot (the only case the oracle scales ever
+    see). The per-level collect is bounded by rows/bucket_cap keys.
+
+    Each level's frontier is persisted (skinny id+fingerprint+key rows) so
+    the next count and the final scorer reuse it instead of recomputing the
+    fingerprint lineage.
+    """
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    for lvl in range(1, max_extra_levels + 1):
+        hot = (
+            banded.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select("bkey")
+        )
+        hot_keys = [r["bkey"] for r in hot.collect()]
+        if not hot_keys:
+            break
+        spark = banded.sparkSession
+        hot_df = spark.createDataFrame(
+            [(kk,) for kk in hot_keys], "bkey string"
+        ).withColumn("_hot", F.lit(True))
+        flagged = banded.join(F.broadcast(hot_df), "bkey", "left")
+        cold = flagged.filter(F.col("_hot").isNull()).drop("_hot")
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("g"),
+                    subband_value(F.col(fp_col), lvl, g).alias("v"),
+                )
+                for g in range(n_bands)
+            ]
+        )
+        hot_ext = (
+            flagged.filter(F.col("_hot").isNotNull())
+            .drop("_hot")
+            .withColumn("_s", F.explode(subs))
+            .withColumn(
+                "bkey",
+                F.concat_ws(
+                    "",
+                    F.col("bkey"),
+                    F.lit(f"|L{lvl}G"),
+                    F.col("_s.g"),
+                    F.lit(":"),
+                    F.col("_s.v"),
+                ),
+            )
+            .drop("_s")
+        )
+        nxt = cold.unionByName(hot_ext).persist(StorageLevel.MEMORY_AND_DISK)
+        banded.unpersist()
+        banded = nxt
+    return banded
+
+
+def simhash_rebanded_keys(
     df: DataFrame,
     id_col: str = "doc_id",
     sim_col: str = "simhash",
     n_bits: int = 60,
     n_bands: int = 4,
     k: int = 20,
+    bucket_cap: int | None = 8192,
+    max_extra_levels: int = 3,
 ) -> DataFrame:
-    """Top-k closest fingerprint pairs in hamming space WITHOUT
-    materializing the banded candidate set: one applyInPandas per
-    (band, band_val) bucket XORs the whole bucket against itself in numpy
-    (SWAR popcount — no Python per pair) and emits only its local top-k
-    under the global total order (hamming ASC, doc_a, doc_b).
-
-    Candidate SEMANTICS are identical to simhash_banded_pairs (same
-    pigeonhole guarantee: any pair within hamming <= n_bands-1 shares an
-    intact band), and per-bucket top-k pruning is lossless — a
-    global-top-k pair is inside the top-k of every bucket containing it.
-    What changes is the plan: the synthetic-corpus band values are heavily
-    skewed (one 15-bit bucket holds 30% of sf0.1 docs -> the bucket join
-    alone emits 2.3M pairs), so the pair join + dropDuplicates shuffle was
-    the cost center; here the only wide exchange is docs x n_bands skinny
-    (id, fingerprint) rows.
-
-    Plan shape: hash-repartition on (band_id, band_val) + in-partition
-    sort makes every bucket CONTIGUOUS inside a partition, then ONE
-    mapInPandas pass walks the Arrow batches bucket by bucket (buffering
-    only a batch-straddling bucket tail) — Python is invoked per Arrow
-    batch, not per bucket, so the ~2k singleton/tiny buckets cost numpy
-    slicing, not a pandas-group materialization each (measured: the
-    applyInPandas-per-group form spent 26 s on group overhead at sf0.1;
-    this form runs the same math in <1 s).
-
-    Scale note: a BUCKET must fit one task's memory (m ids + an m x m
-    uint64 tile) — the partition doesn't, because only the trailing
-    bucket is ever buffered. Hot buckets are exactly the simhash
-    clusters; when m grows past ~10^4, re-band the hot buckets on
-    additional bits (the standard recursive split) or fall back to the
-    pair-join path.
-    """
-    import numpy as np
-    import pandas as pd
-
+    """(id, simhash, bkey) with every bucket bounded where the fingerprint
+    entropy allows: duplicate-collapse, level-0 contiguous bands, then
+    recursive hot-bucket re-band. Exposed separately so tests can assert
+    the post-split bucket-size distribution directly."""
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
+    base = df.select(F.col(id_col), F.col(sim_col))
+    if bucket_cap is not None:
+        base = collapse_to_smallest_ids(base, F.col(sim_col), id_col, k + 1)
     bands = F.array(
         *[
             F.struct(
@@ -539,13 +648,86 @@ def simhash_bucket_topk_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = df.select(
-        F.col(id_col), F.col(sim_col), F.explode(bands).alias("band")
-    ).select(id_col, sim_col, "band.band_id", "band.band_val")
+    banded = (
+        base.select(F.col(id_col), F.col(sim_col), F.explode(bands).alias("band"))
+        .withColumn(
+            "bkey",
+            F.concat_ws(
+                "", F.lit("B"), F.col("band.band_id"), F.lit(":"), F.col("band.band_val")
+            ),
+        )
+        .select(id_col, sim_col, "bkey")
+    )
+    if bucket_cap is None:
+        return banded
+
+    def sub_val(fp: Column, lvl: int, g: int) -> Column:
+        # Level lvl re-partitions ALL n_bits into n_bands contiguous windows
+        # rotated by 7*lvl bits — a fresh partition each level, so a chain
+        # of levels constrains (mostly) fresh bits and distinct fingerprints
+        # separate; pigeonhole holds per level because the windows partition
+        # every bit.
+        off = (7 * lvl) % band_bits
+        start = (off + g * band_bits) % n_bits
+        return wrapped_window_bits(fp, start, band_bits, n_bits)
+
+    return reband_hot_buckets(
+        banded, sim_col, sub_val, n_bands, bucket_cap, max_extra_levels
+    )
+
+
+def simhash_bucket_topk_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    n_bits: int = 60,
+    n_bands: int = 4,
+    k: int = 20,
+    bucket_cap: int | None = 8192,
+    max_extra_levels: int = 3,
+) -> DataFrame:
+    """Top-k closest fingerprint pairs in hamming space WITHOUT
+    materializing the banded candidate set: one streaming mapInPandas walk
+    over bucket-contiguous partitions XORs each bucket against itself in
+    numpy (SWAR popcount — no Python per pair) and emits only its local
+    top-k under the global total order (hamming ASC, doc_a, doc_b).
+
+    Candidate SEMANTICS match simhash_banded_pairs below ``bucket_cap``
+    (same pigeonhole guarantee: any pair within hamming <= n_bands-1 shares
+    an intact band), and per-bucket top-k pruning is lossless — a
+    global-top-k pair is inside the top-k of every bucket containing it.
+
+    Hot buckets are bounded by three composed mechanisms (see the block
+    comment above): a lossless global duplicate-collapse to the k+1
+    smallest ids per fingerprint, a Spark-side recursive re-band of buckets
+    past ``bucket_cap`` onto rotated fingerprint windows (pairs within the
+    hamming <= n_bands-1 radius keep an intact window per level and stay
+    candidates; the only semantic relaxation is for pairs BEYOND the
+    radius inside an over-cap bucket — standard LSH behavior), and a
+    blocked tile scorer so even a residual giant bucket never allocates an
+    m x m array. ``bucket_cap=None`` disables all three (exact legacy
+    behavior, used by the equivalence tests). Default cap 8192 > every
+    oracle fixture, so driver-checked results are bit-identical to the
+    un-capped plan.
+
+    Plan shape: hash-repartition on bkey + in-partition sort makes every
+    bucket CONTIGUOUS inside a partition, then ONE mapInPandas pass walks
+    the Arrow batches bucket by bucket (buffering only a batch-straddling
+    bucket tail) — Python is invoked per Arrow batch, not per bucket, so
+    tiny buckets cost numpy slicing, not a pandas group materialization
+    (measured: the applyInPandas-per-group form spent 26 s on group
+    overhead at sf0.1; this form runs the same math in <1 s).
+    """
+    import numpy as np
+    import pandas as pd
+
+    banded = simhash_rebanded_keys(
+        df, id_col, sim_col, n_bits, n_bands, k, bucket_cap, max_extra_levels
+    )
     sess = df.sparkSession
     n_parts = sess.sparkContext.defaultParallelism
-    parted = banded.repartition(n_parts, "band_id", "band_val").sortWithinPartitions(
-        "band_id", "band_val", id_col
+    parted = banded.repartition(n_parts, "bkey").sortWithinPartitions(
+        "bkey", id_col
     )
 
     def _popcount64(v: "np.ndarray") -> "np.ndarray":
@@ -561,17 +743,46 @@ def simhash_bucket_topk_pairs(
     def partition_topk(batches):
         outs = []
 
+        def emit(ham, a, b):
+            top = np.lexsort((b, a, ham))[:k]
+            outs.append(
+                pd.DataFrame({"doc_a": a[top], "doc_b": b[top], "hamming": ham[top]})
+            )
+
         def bucket(ids: "np.ndarray", h: "np.ndarray") -> None:
             m = len(ids)
             if m < 2:
                 return
-            ia, ib = np.triu_indices(m, 1)  # ids sorted asc => doc_a < doc_b
-            ham = _popcount64(h[ia] ^ h[ib]).astype(np.int64)
-            top = np.lexsort((ids[ib], ids[ia], ham))[:k]
-            outs.append(
-                pd.DataFrame(
-                    {"doc_a": ids[ia][top], "doc_b": ids[ib][top], "hamming": ham[top]}
-                )
+            if m <= _PAIR_TILE:
+                ia, ib = np.triu_indices(m, 1)  # ids sorted asc => doc_a < doc_b
+                emit(_popcount64(h[ia] ^ h[ib]).astype(np.int64), ids[ia], ids[ib])
+                return
+            # Residual over-cap bucket: blocked tiles, running top-k. Peak
+            # extra memory = one _PAIR_TILE^2 uint64 tile however big m is.
+            cand = []
+            t = _PAIR_TILE
+            nb = (m + t - 1) // t
+            for bi in range(nb):
+                si, ei = bi * t, min((bi + 1) * t, m)
+                ia, ib = np.triu_indices(ei - si, 1)
+                ham = _popcount64(h[si:ei][ia] ^ h[si:ei][ib]).astype(np.int64)
+                top = np.lexsort((ids[si:ei][ib], ids[si:ei][ia], ham))[:k]
+                cand.append((ham[top], ids[si:ei][ia][top], ids[si:ei][ib][top]))
+                for bj in range(bi + 1, nb):
+                    sj, ej = bj * t, min((bj + 1) * t, m)
+                    tile = _popcount64(
+                        h[si:ei, None] ^ h[None, sj:ej]
+                    ).astype(np.int64)
+                    flat = tile.ravel()
+                    # ids sorted asc within bucket => block i ids < block j ids
+                    a2 = np.repeat(ids[si:ei], ej - sj)
+                    b2 = np.tile(ids[sj:ej], ei - si)
+                    top = np.lexsort((b2, a2, flat))[:k]
+                    cand.append((flat[top], a2[top], b2[top]))
+            emit(
+                np.concatenate([c[0] for c in cand]),
+                np.concatenate([c[1] for c in cand]),
+                np.concatenate([c[2] for c in cand]),
             )
 
         leftover = None
@@ -581,8 +792,8 @@ def simhash_bucket_topk_pairs(
             if not len(pdf):
                 leftover = None
                 continue
-            keys = pdf[["band_id", "band_val"]].to_numpy()
-            change = np.flatnonzero(np.any(keys[1:] != keys[:-1], axis=1)) + 1
+            keys = pdf["bkey"].to_numpy()
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
             starts = np.concatenate(([0], change))
             ids_all = pdf[id_col].to_numpy()
             h_all = pdf[sim_col].to_numpy().astype(np.uint64)

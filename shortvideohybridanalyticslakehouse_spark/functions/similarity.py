@@ -577,41 +577,44 @@ def semdedup_prune(
     )
 
 
-def lsh_bucket_topk_pairs(
+
+_VEC_TILE = 1024  # numpy block edge for the pair GEMM (8 MB float64 tile)
+
+
+def lsh_rebanded_keys(
     corpus: DataFrame,
     n_planes: int = 16,
     band_size: int = 2,
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 6,
+    bucket_cap: int | None = 8192,
+    max_extra_levels: int = 6,
 ) -> DataFrame:
-    """Top-k most-similar pairs over LSH band buckets WITHOUT materializing
-    the candidate pair set: one applyInPandas per (band, band_val) bucket
-    runs the whole bucket through a numpy GEMM and emits only its local
-    top-k pairs under the global total order (cos DESC, id_a, id_b).
-
-    Same output contract as scoring lsh_candidate_pairs pair-by-pair (a
-    global-top-k pair is by definition inside the top-k of every bucket
-    that contains it, so per-bucket pruning is lossless), but the plan
-    never shuffles |candidates| rows: the only wide exchange is the
-    banded corpus itself (vectors x n_bands rows), and Python sees each
-    bucket once as an Arrow batch. Measured at sf0.1/band_size=2 this
-    replaces an 11.6 s pair-join + per-element HOF cosine plan with a
-    sub-second GEMM.
-
-    Scale note: a bucket must fit one task's memory (m x dim floats + an
-    m x m tile). Band granularity controls m — at larger corpora raise
-    n_planes / band_size so buckets stay bounded (the same knob that
-    bounds the candidate count), or fall back to lsh_candidate_pairs +
-    exact re-rank, which trades memory for the pair shuffle.
-    """
-    import numpy as np
-    import pandas as pd
+    """(id, vec, bkey) for the banded pair scorer with every bucket bounded
+    where the sketch entropy allows — duplicate-vector collapse, level-0
+    contiguous sketch bands, then recursive hot-bucket re-band on fresh
+    bit partitions. Exposed separately so tests can assert the post-split
+    bucket-size distribution directly."""
+    from shortvideohybridanalyticslakehouse_spark.functions.dedupfns import (
+        collapse_to_smallest_ids,
+        reband_hot_buckets,
+    )
 
     n_bands = n_planes // band_size
     mask = (1 << band_size) - 1
-    sketched = corpus.select(
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if bucket_cap is not None:
+        # Lossless duplicate-vector pre-shrink: only the k+1 smallest ids
+        # per identical embedding can appear in the (cos, id_a, id_b)-ordered
+        # top-k (any later id is dominated by k same-cosine smaller-lex
+        # pairs). Keyed on xxhash64 of the raw vector — a 2^-64 collision
+        # would wrongly co-collapse two distinct vectors; acceptable against
+        # the mass-duplicate OOM it prevents.
+        base = collapse_to_smallest_ids(
+            base, F.xxhash64(F.col(vec_col)), id_col, k + 1
+        )
+    sketched = base.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_sketch(F.col(vec_col), n_planes).alias("_sk"),
@@ -627,39 +630,149 @@ def lsh_bucket_topk_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sketched.select(
-        id_col, vec_col, F.explode(bands).alias("band")
-    ).select(id_col, vec_col, "band.band_id", "band.band_val")
+    banded = (
+        sketched.select(id_col, vec_col, "_sk", F.explode(bands).alias("band"))
+        .withColumn(
+            "bkey",
+            F.concat_ws(
+                "", F.lit("B"), F.col("band.band_id"), F.lit(":"), F.col("band.band_val")
+            ),
+        )
+        .select(id_col, vec_col, "_sk", "bkey")
+    )
+    if bucket_cap is None:
+        return banded.drop("_sk")
+
+    def sub_val(sk: Column, lvl: int, g: int) -> Column:
+        # Level lvl groups sketch bit p by (p * s) % n_planes // band_size
+        # with s odd (a bijection on Z_16), so each level is a FRESH
+        # partition of all n_planes bits into n_bands groups — pigeonhole
+        # holds per level, and chains of levels constrain fresh bits.
+        s = 2 * lvl + 1
+        bits = [
+            p for p in range(n_planes) if ((p * s) % n_planes) // band_size == g
+        ]
+        val = None
+        for j, p in enumerate(bits):
+            term = F.shiftleft(
+                F.shiftright(sk, p).bitwiseAND(F.lit(1)), j
+            )
+            val = term if val is None else val.bitwiseOR(term)
+        return val
+
+    out = reband_hot_buckets(
+        banded, "_sk", sub_val, n_bands, bucket_cap, max_extra_levels
+    )
+    return out.drop("_sk")
+
+
+def lsh_bucket_topk_pairs(
+    corpus: DataFrame,
+    n_planes: int = 16,
+    band_size: int = 2,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    bucket_cap: int | None = 8192,
+    max_extra_levels: int = 6,
+) -> DataFrame:
+    """Top-k most-similar pairs over LSH band buckets WITHOUT materializing
+    the candidate pair set: one applyInPandas per bucket runs the bucket
+    through a numpy GEMM and emits only its local top-k pairs under the
+    global total order (cos DESC, id_a, id_b).
+
+    Same output contract as scoring lsh_candidate_pairs pair-by-pair (a
+    global-top-k pair is by definition inside the top-k of every bucket
+    that contains it, so per-bucket pruning is lossless), but the plan
+    never shuffles |candidates| rows: the only wide exchange is the
+    banded corpus itself (vectors x n_bands rows), and Python sees each
+    bucket once as an Arrow batch. Measured at sf0.1/band_size=2 this
+    replaces an 11.6 s pair-join + per-element HOF cosine plan with a
+    sub-second GEMM.
+
+    Hot buckets are bounded by three composed mechanisms (see the
+    dedupfns hot-bucket block comment): a lossless duplicate-vector
+    collapse to the k+1 smallest ids per identical embedding, a
+    Spark-side recursive re-band of buckets past ``bucket_cap`` onto
+    fresh sketch-bit partitions (a pair differing in <= n_bands-1 sketch
+    bits keeps an intact group every level; pairs beyond that radius in
+    an over-cap bucket may drop — standard LSH behavior), and a blocked
+    GEMM so a residual giant bucket (many distinct vectors sharing one
+    full sketch — raise n_planes if this dominates) never allocates an
+    m x m tile. ``bucket_cap=None`` disables all three (exact legacy
+    behavior for the equivalence tests); default cap 8192 > every oracle
+    fixture, so driver-checked results are bit-identical either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    banded = lsh_rebanded_keys(
+        corpus,
+        n_planes,
+        band_size,
+        k,
+        id_col,
+        vec_col,
+        bucket_cap,
+        max_extra_levels,
+    )
 
     out_schema = "id_a long, id_b long, cosine_sim double"
+    empty = {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
-            )
+            return pd.DataFrame({c: [] for c in empty}).astype(empty)
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         normed = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-        sims = np.round(normed @ normed.T, round_to)
-        ia, ib = np.triu_indices(m, 1)  # ids sorted asc => id_a < id_b
-        sa, id_a, id_b = sims[ia, ib], ids[ia], ids[ib]
-        top = np.lexsort((id_b, id_a, -sa))[:k]
+        if m <= _VEC_TILE:
+            sims = np.round(normed @ normed.T, round_to)
+            ia, ib = np.triu_indices(m, 1)  # ids sorted asc => id_a < id_b
+            sa, id_a, id_b = sims[ia, ib], ids[ia], ids[ib]
+            top = np.lexsort((id_b, id_a, -sa))[:k]
+            return pd.DataFrame(
+                {"id_a": id_a[top], "id_b": id_b[top], "cosine_sim": sa[top]}
+            )
+        # Residual over-cap bucket: blocked GEMM tiles with a running
+        # top-k — peak extra memory is one _VEC_TILE^2 float64 tile.
+        t = _VEC_TILE
+        nb = (m + t - 1) // t
+        cand = []
+        for bi in range(nb):
+            si, ei = bi * t, min((bi + 1) * t, m)
+            blk = np.round(normed[si:ei] @ normed[si:ei].T, round_to)
+            ia, ib = np.triu_indices(ei - si, 1)
+            sa = blk[ia, ib]
+            top = np.lexsort((ids[si:ei][ib], ids[si:ei][ia], -sa))[:k]
+            cand.append((sa[top], ids[si:ei][ia][top], ids[si:ei][ib][top]))
+            for bj in range(bi + 1, nb):
+                sj, ej = bj * t, min((bj + 1) * t, m)
+                tile = np.round(normed[si:ei] @ normed[sj:ej].T, round_to)
+                flat = tile.ravel()
+                a2 = np.repeat(ids[si:ei], ej - sj)
+                b2 = np.tile(ids[sj:ej], ei - si)
+                top = np.lexsort((b2, a2, -flat))[:k]
+                cand.append((flat[top], a2[top], b2[top]))
+        sa = np.concatenate([c[0] for c in cand])
+        a2 = np.concatenate([c[1] for c in cand])
+        b2 = np.concatenate([c[2] for c in cand])
+        top = np.lexsort((b2, a2, -sa))[:k]
         return pd.DataFrame(
-            {"id_a": id_a[top], "id_b": id_b[top], "cosine_sim": sa[top]}
+            {"id_a": a2[top], "id_b": b2[top], "cosine_sim": sa[top]}
         )
 
-    local = banded.groupBy("band_id", "band_val").applyInPandas(
-        bucket_topk, out_schema
-    )
+    local = banded.groupBy("bkey").applyInPandas(bucket_topk, out_schema)
     return (
         local.dropDuplicates(["id_a", "id_b"])
         .orderBy(F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
+
 
 
 def cosine_topk_batch(
