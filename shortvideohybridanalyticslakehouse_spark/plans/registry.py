@@ -66,6 +66,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext40,
         queries_ext41,
         queries_ext42,
+        queries_ext43,
     )
 
     return REGISTRY

@@ -68,3 +68,58 @@ def test_resize_schema_and_determinism(spark):
     # deterministic: same input -> same surrogate payload
     again = {r.doc_id: r.payload for r in out.collect()}
     assert {k: v.payload for k, v in rows.items()} == again
+
+
+# ---------------------------------------------------------------------------
+# Real raster codec (round 4): BMP/PPM parse, luma features, fallbacks
+# ---------------------------------------------------------------------------
+
+
+def test_raster_round_trip_both_formats():
+    import numpy as np
+
+    for d in (0, 1, 2, 3, 10, 17, 33):  # covers BMP stride-pad widths 8..16
+        w, h = 8 + d % 9, 6 + d % 7
+        rgb = ((d * 31 + np.arange(3 * w * h)) % 256).astype(np.uint8).tobytes()
+        for enc, name in ((multimodal.encode_ppm, "ppm"), (multimodal.encode_bmp, "bmp")):
+            fmt, w2, h2, px = multimodal.decode_raster(enc(w, h, rgb))
+            assert fmt == name and (w2, h2) == (w, h)
+            assert px.tobytes() == rgb  # stride pad, row order, BGR all undone
+
+
+def test_raster_rejects_malformed():
+    import pytest as _pytest
+
+    for bad in (b"", b"GIF89a....", b"P6\n8 6\n255\n" + b"\x00" * 10,
+                b"BM" + b"\x00" * 20):
+        with _pytest.raises(ValueError):
+            multimodal.decode_raster(bad)
+
+
+def test_decode_image_real_vs_fake_fallback():
+    import numpy as np
+
+    rgb = (np.arange(3 * 8 * 6) % 256).astype(np.uint8).tobytes()
+    assert multimodal._decode_image(multimodal.encode_ppm(8, 6, rgb)) == (8, 6)
+    assert multimodal._decode_image(multimodal.encode_bmp(8, 6, rgb)) == (8, 6)
+    # non-raster payload -> deterministic hash-derived fake dims (plumbing path)
+    w, h = multimodal._decode_image(b"not an image")
+    assert 64 <= w < 256 and 64 <= h < 256
+    assert (w, h) == multimodal._decode_image(b"not an image")
+
+
+def test_raster_decode_stats_spark(spark):
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    payloads = multimodal.synthetic_raster_payloads(ids, "doc_id")
+    out = {r.doc_id: r for r in multimodal.raster_decode_stats(payloads).collect()}
+    assert set(out) == set(range(12))
+    for d, r in out.items():
+        assert r.fmt == ("bmp" if d % 2 else "ppm")
+        assert (r.width, r.height) == (8 + d % 9, 6 + d % 7)
+        tot = sum(
+            299 * ((d * 31 + 3 * i) % 256)
+            + 587 * ((d * 31 + 3 * i + 1) % 256)
+            + 114 * ((d * 31 + 3 * i + 2) % 256)
+            for i in range(r.width * r.height)
+        )
+        assert r.mean_luma == round(tot / (1000.0 * r.width * r.height), 6)
