@@ -70,15 +70,28 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     names += [n for n in REGISTRY if n not in names]
 
-    # Best-of-N wall time per query: a single trial on a shared host folds
-    # one-off stalls (CPU steal, GC pause) into the recorded number; the min
-    # of two runs reports engine cost. Plan construction + execution are
-    # both inside the timed region on every trial.
-    TRIALS = 2
+    # Median-of-N wall time per query (round-4 methodology pin): a single
+    # trial on a shared host folds one-off stalls (CPU steal, GC pause)
+    # into the recorded number, and best-of-N hides systematic slowdowns;
+    # the MEDIAN of >=3 trials is robust to one outlier in either
+    # direction. Per-query spread (max-min) and host loadavg bracket the
+    # run so cross-round deltas are attributable to plans vs. host noise.
+    # Plan construction + execution are both inside the timed region.
+    TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+    def loadavg() -> list[float]:
+        try:
+            with open("/proc/loadavg") as fh:
+                return [float(x) for x in fh.read().split()[:3]]
+        except OSError:
+            return []
+
+    load_start = loadavg()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         fn, _ = REGISTRY[name]
-        best = None
+        trials: list[float] = []
         for _trial in range(TRIALS):
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -89,10 +102,13 @@ def main() -> None:
             df.select(
                 F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("h")
             ).collect()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            trials.append(time.time() - t0)
+        trials.sort()
+        timings[name] = round(trials[len(trials) // 2], 3)
+        spreads[name] = round(trials[-1] - trials[0], 3)
+    load_end = loadavg()
     total = round(sum(timings.values()), 3)
+    spread_sorted = sorted(spreads.values())
     print(
         json.dumps(
             {
@@ -102,7 +118,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "trials_per_query": TRIALS,
-                "timing": "best_of_trials",
+                "timing": "median_of_trials",
+                "query_spread_max_minus_min": spreads,
+                "spread_p90": spread_sorted[int(0.9 * (len(spread_sorted) - 1))]
+                if spread_sorted
+                else None,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
             }
         )
     )

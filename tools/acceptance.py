@@ -172,6 +172,84 @@ def main() -> int:
         }
     )
 
+    # Round-4 streaming SOAK gate: drive the same job through ~20
+    # micro-batches (events split into 20 time-ordered files,
+    # maxFilesPerTrigger=1 under availableNow) on the RocksDB state store,
+    # and gate on (a) the batch count, (b) RocksDB really providing state,
+    # (c) BOUNDED state: the watermark must evict dedup state as event time
+    # advances, so final state rows must sit well below cumulative input.
+    from shortvideohybridanalyticslakehouse_spark.streaming import stateful
+
+    soak_dir = tempfile.mkdtemp(prefix="svh_accept_soak_")
+    soak_src = os.path.join(soak_dir, "events_in")
+    os.makedirs(soak_src, exist_ok=True)
+    # Dedicated soak fixture: the event-time SPAN must dwarf the 2-minute
+    # watermark for eviction to be observable (at the BI pack's 50 ev/s,
+    # 8000 events span ~160 s and dedup state legitimately retains almost
+    # everything — the first soak run caught exactly that). 8 ev/s spreads
+    # the same volume over ~17 minutes, so steady-state dedup state is the
+    # ~2-minute tail, not the whole run.
+    soak_run = BoundedRun(
+        GeneratorConfig(
+            total_events=args.events, events_per_second=8.0, seed=args.seed
+        )
+    )
+    events = [v for (v,) in soak_run.content_events()]
+
+    def _ts(line: str) -> str:
+        try:
+            return json.loads(line).get("event_timestamp") or ""
+        except ValueError:
+            return ""
+
+    events.sort(key=_ts)  # time-ordered files => watermark advances per batch
+    n_files = 20
+    chunk = max(1, (len(events) + n_files - 1) // n_files)
+    for i in range(0, len(events), chunk):
+        with open(os.path.join(soak_src, f"part-{i//chunk:04d}.jsonl"), "w") as f:
+            f.write("\n".join(events[i : i + chunk]))
+    prev_state_conf = stateful.apply_rocksdb_state(spark)
+    try:
+        soak_queries = sjobs.start_content_events_job(
+            spark,
+            sjobs.read_json_file_stream(spark, soak_src, max_files_per_trigger=1),
+            os.path.join(soak_dir, "out"),
+            os.path.join(soak_dir, "ckpt"),
+        )
+        for q in soak_queries:
+            q.awaitTermination(600)
+    finally:
+        stateful.restore_confs(spark, prev_state_conf)
+    gold_prog = [
+        json.loads(p.json) if hasattr(p, "json") else p
+        for q in soak_queries
+        for p in q.recentProgress
+        if (json.loads(p.json) if hasattr(p, "json") else p).get("stateOperators")
+    ]
+    state_rows = [
+        sum(int(so.get("numRowsTotal", 0)) for so in p["stateOperators"])
+        for p in gold_prog
+    ]
+    removed = sum(
+        int(so.get("numRowsRemoved", 0))
+        for p in gold_prog
+        for so in p["stateOperators"]
+    )
+    soak_input = sum(int(p.get("numInputRows", 0)) for p in gold_prog)
+    rocksdb_seen = any(
+        "rocksdb" in json.dumps(p.get("stateOperators", [])).lower()
+        for p in gold_prog
+    )
+    gates.update(
+        {
+            "soak_micro_batches_ge_15": len(gold_prog) >= 15,
+            "soak_rocksdb_state_provider": rocksdb_seen,
+            "soak_state_evicted": removed > 0,
+            "soak_state_bounded": bool(state_rows)
+            and state_rows[-1] < max(1, soak_input) * 0.6,
+        }
+    )
+
     ok = bool(report["_overall"]["passed"]) and all(gates.values())
     print(
         json.dumps(
