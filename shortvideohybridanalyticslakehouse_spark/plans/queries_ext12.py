@@ -101,6 +101,8 @@ def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     per element); the HOF path wins when Python workers are scarce.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:  # fail loudly, not with an opaque TypeError
+        raise ValueError(f"fixture has no query vector vec_id=0 under {sf_dir}")
     corpus = emb.filter(F.col("vec_id") != 0)
-    return similarity.cosine_topk_vectorized(corpus, qvec, k=10)
+    return similarity.cosine_topk_vectorized(corpus, qrow[0], k=10)

@@ -53,6 +53,8 @@ def q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not qrows:  # fail loudly, not with an empty silent result
+        raise ValueError(f"fixture has no query vectors vec_id<8 under {sf_dir}")
     queries = [(r[0], list(r[1])) for r in qrows]
     return similarity.cosine_topk_batch(emb, queries, k=10)
 

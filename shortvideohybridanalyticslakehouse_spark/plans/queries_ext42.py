@@ -117,6 +117,9 @@ def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     lanes.
     """
     emb = load_table(spark, sf_dir, "embeddings", ensure_parallelism=True)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:  # fail loudly, not with an opaque TypeError
+        raise ValueError(f"fixture has no query vector vec_id=0 under {sf_dir}")
+    qvec = [float(x) for x in qrow[0]]
     corpus = emb.filter(F.col("vec_id") != 0)
     return similarity.cosine_topk_arrow(corpus, qvec, k=10)

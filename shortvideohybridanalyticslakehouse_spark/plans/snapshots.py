@@ -40,6 +40,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 _VERSION_RE = re.compile(r"^v=(\d+)$")
 _POINTER = "_latest"
+_HWM = "_rollback_hwm"
+
+
+def _rollback_hwm(base: str) -> int:
+    """Highest version that was ever committed before a rollback (-1 if no
+    rollback recorded) — the vacuum boundary between rolled-back history
+    and crashed-commit orphans."""
+    try:
+        with open(os.path.join(base, _HWM)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
 
 
 def _versions(base: str) -> list[int]:
@@ -121,6 +133,16 @@ def rollback(base: str, version: int) -> int:
     """
     if not os.path.isdir(os.path.join(base, f"v={version}")):
         raise FileNotFoundError(f"version {version} missing under {base}")
+    # Record the pre-rollback high-water mark so vacuum can tell rolled-back
+    # HISTORY (committed once, restorable by a later roll-forward) from
+    # crashed-commit ORPHANS (never committed). Without it, a vacuum run
+    # between rollback and the next commit would permanently delete the
+    # rolled-back versions.
+    hwm = max([_rollback_hwm(base), *_versions(base), -1])
+    tmp_h = os.path.join(base, f"{_HWM}.tmp.rb{version}")
+    with open(tmp_h, "w") as f:
+        f.write(str(hwm))
+    os.replace(tmp_h, os.path.join(base, _HWM))
     tmp = os.path.join(base, f"{_POINTER}.tmp.rb{version}")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -131,14 +153,20 @@ def rollback(base: str, version: int) -> int:
 def vacuum(base: str, keep_last: int = 2) -> list[int]:
     """Drop version directories older than the newest ``keep_last``, never
     the committed one. Also collects orphan (crashed, never-committed)
-    directories NEWER than the pointer. Returns dropped versions."""
+    directories NEWER than the pointer — but NOT rolled-back history:
+    versions at or below the high-water mark `rollback` records were
+    committed once and stay restorable, so they age out under the normal
+    ``keep_last`` rule instead of being treated as crash debris. Returns
+    dropped versions."""
     committed = _committed_version(base)
     if committed is None:
         return []
     versions = _versions(base)
     keep = set(versions[-keep_last:]) | {committed}
-    # orphans: dirs above the pointer were never published (crashed commit)
-    orphans = {v for v in versions if v > committed}
+    # orphans: dirs above BOTH the pointer and the rollback high-water mark
+    # were never published (crashed commit)
+    hwm = _rollback_hwm(base)
+    orphans = {v for v in versions if v > committed and v > hwm}
     dropped = []
     for v in versions:
         if v in orphans or v not in keep:
@@ -177,15 +205,20 @@ def snapshot_diff(
             f"{sorted(old.columns)} vs {sorted(new.columns)} — diff requires "
             "aligned schemas (run the align.ensure_contract migration first)"
         )
-    o = old.alias("o")
-    n = new.alias("n")
+    # Side presence via sentinel marker columns, NOT key nullness: the join
+    # matches keys with eqNullSafe, so a legitimately-NULL key column must
+    # not make a row vanish from the changelog (a row absent from one side
+    # of the full outer join has a NULL marker there; a present row never
+    # does, whatever its key values).
+    o = old.withColumn("_in_old", F.lit(True)).alias("o")
+    n = new.withColumn("_in_new", F.lit(True)).alias("n")
     on = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
     cond = on[0]
     for c in on[1:]:
         cond = cond & c
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
-    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    in_old = F.col("o._in_old").isNotNull()
+    in_new = F.col("n._in_new").isNotNull()
     same = None
     for c in val_cols:
         eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

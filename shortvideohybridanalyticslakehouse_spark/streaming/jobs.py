@@ -451,6 +451,8 @@ def incremental_near_dup_plan(
     k: int = 2,
     num_hashes: int = 16,
     band_size: int = 2,
+    event_ts_col: str | None = None,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """STREAM-STATIC join: incoming documents checked for near-duplicates
     against a pre-built corpus signature index, the incremental-ingest
@@ -473,29 +475,46 @@ def incremental_near_dup_plan(
     dropDuplicates is state-backed on a stream: a re-ingested (new,
     corpus) pair will not re-emit across batches — the semantics an
     ingest pipeline wants.
+
+    STATE BOUND: pass ``event_ts_col`` (an event-time column on
+    ``new_docs``) and the dedup becomes dropDuplicatesWithinWatermark —
+    pair state older than ``watermark`` is evicted, the same policy the
+    gold path uses. WITHOUT it the (new_id, corpus_id) state grows with
+    the lifetime of the ingest stream (re-ingests are suppressed forever,
+    at unbounded-state cost) — only run that mode with a periodic query
+    restart or a state-TTL config.
     """
     from shortvideohybridanalyticslakehouse_spark.functions import dedupfns
 
+    carry = [F.col(event_ts_col)] if event_ts_col else []
     with_sig = dedupfns.with_minhash(
-        new_docs.select(F.col(id_col), F.col(text_col)),
+        new_docs.select(F.col(id_col), F.col(text_col), *carry),
         text_col=text_col,
         k=k,
         num_hashes=num_hashes,
         out_col="minhash",
     )
+    carry_names = [event_ts_col] if event_ts_col else []
     banded_new = with_sig.select(
         F.col(id_col).alias("new_id"),
         F.col("minhash").alias("sig_new"),
+        *[F.col(c) for c in carry_names],
         F.explode(
             dedupfns.lsh_bands(F.col("minhash"), num_hashes, band_size)
         ).alias("band"),
-    ).select("new_id", "sig_new", "band.band_id", "band.band_hash")
-    cand = (
+    ).select("new_id", "sig_new", *carry_names, "band.band_id", "band.band_hash")
+    joined = (
         banded_new.join(index, ["band_id", "band_hash"])
         .filter(F.col("new_id") != F.col("corpus_id"))
-        .select("new_id", "corpus_id", "sig_new", "sig_corpus")
-        .dropDuplicates(["new_id", "corpus_id"])
+        .select("new_id", "corpus_id", "sig_new", "sig_corpus", *carry_names)
     )
+    if event_ts_col:
+        cand = joined.withWatermark(event_ts_col, watermark)
+        cand = cand.dropDuplicatesWithinWatermark(["new_id", "corpus_id"]).drop(
+            event_ts_col
+        )
+    else:
+        cand = joined.dropDuplicates(["new_id", "corpus_id"])
     agree = F.size(
         F.filter(
             F.zip_with(

@@ -74,3 +74,61 @@ def test_incremental_candidates_match_batch_twin(spark, tmp_path):
     assert planted and planted[0][2] >= 0.5
     # the unrelated doc must not pair with anything
     assert not any(e[0] == 501 for e in got)
+
+
+def test_incremental_dedup_watermarked_state_bound(spark, tmp_path):
+    """Round-4 advice fix: with event_ts_col, the (new_id, corpus_id)
+    dedup becomes dropDuplicatesWithinWatermark — state is evictable, and
+    within-watermark re-ingests are still suppressed."""
+    corpus = _corpus(spark)
+    index_path = os.path.join(str(tmp_path), "index_wm")
+    jobs.build_near_dup_index(corpus).write.parquet(index_path)
+    index = spark.read.parquet(index_path)
+
+    row = {
+        "doc_id": 500,
+        "text": "the quick brown fox jumps over the lazy cat near the river bank",
+        "ts": "2026-01-01T00:00:00Z",
+    }
+    src = os.path.join(str(tmp_path), "in_wm")
+    os.makedirs(src)
+    # the same doc ingested twice (two files) inside the watermark window
+    for i in range(2):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            f.write(json.dumps(row))
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+            F.get_json_object("value", "$.ts").cast("timestamp").alias("ts"),
+        )
+    )
+    out = jobs.incremental_near_dup_plan(
+        stream, index, event_ts_col="ts", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from inc_dedup_wm").collect()
+    # re-ingest suppressed; planted near-dup found once
+    assert len([r for r in rows if r.new_id == 500 and r.corpus_id == 100]) == 1
+    # the state operator is the watermarked dedup variant (evictable state)
+    import json as _json
+
+    progs = [_json.loads(p.json) for p in q.recentProgress]
+    ops = {
+        so["operatorName"]
+        for p in progs
+        for so in p.get("stateOperators", [])
+    }
+    assert "dedupeWithinWatermark" in ops

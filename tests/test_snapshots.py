@@ -133,3 +133,52 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     # data identical, old layout still time-travelable
     assert _vals(snapshots.read_snapshot(spark, base)) == list(range(100))
     assert _vals(snapshots.read_snapshot(spark, base, version=0)) == list(range(100))
+
+
+def test_vacuum_between_rollback_and_next_commit_keeps_history(spark, tmp_path):
+    """Round-4 advice fix: rolled-back versions are restorable HISTORY, not
+    crashed-commit orphans — vacuum between rollback and the next commit
+    must keep them (within keep_last)."""
+    base = str(tmp_path / "t_rbvac")
+    for i in range(3):  # v0, v1, v2
+        snapshots.commit_snapshot(
+            spark.createDataFrame([(i,)], "x int"), base
+        )
+    snapshots.rollback(base, 0)
+    dropped = snapshots.vacuum(base, keep_last=2)
+    # v1, v2 sit above the pointer but below the recorded high-water mark:
+    # they are history, not orphans; keep_last=2 retains both
+    assert dropped == []
+    # roll-forward still possible: a later commit makes them readable again
+    v3 = snapshots.commit_snapshot(spark.createDataFrame([(9,)], "x int"), base)
+    assert v3 == 3
+    assert [r.x for r in snapshots.read_snapshot(spark, base, 2).collect()] == [2]
+    # a genuinely crashed commit above the high-water mark is still collected
+    import os
+
+    os.makedirs(os.path.join(base, "v=7"))
+    assert 7 in snapshots.vacuum(base, keep_last=10)
+
+
+def test_snapshot_diff_null_first_key_column(spark, tmp_path):
+    """Round-4 advice fix: rows whose FIRST key column is NULL must appear
+    in the changelog (presence is detected by sentinel, not key nullness)."""
+    base = str(tmp_path / "t_nullkey")
+    old = spark.createDataFrame(
+        [(None, 1, "a"), (2, 2, "b")], "k1 int, k2 int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, 1, "a2"), (None, 3, "c")], "k1 int, k2 int, v string"
+    )
+    snapshots.commit_snapshot(old, base)
+    snapshots.commit_snapshot(new, base)
+    diff = snapshots.snapshot_diff(spark, base, 0, 1, ["k1", "k2"]).collect()
+    by_type = {}
+    for r in diff:
+        by_type.setdefault(r["_change_type"], []).append((r.k1, r.k2, r.v))
+    # NULL-keyed update is visible (eqNullSafe matches NULL keys)
+    assert by_type["update_preimage"] == [(None, 1, "a")]
+    assert by_type["update_postimage"] == [(None, 1, "a2")]
+    # NULL-keyed insert and non-null delete both visible
+    assert by_type["insert"] == [(None, 3, "c")]
+    assert by_type["delete"] == [(2, 2, "b")]
