@@ -53,3 +53,53 @@ def q_raster_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.synthetic_raster_payloads(docs, "doc_id")
     return multimodal.raster_decode_stats(payloads, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF lane: lateral document chunking (Spark 4 table functions)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 48  # stride 16
+
+_DOC_CHUNKS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), starts AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS start
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(start / {_CHUNK_SIZE - _CHUNK_OVERLAP} AS INT) AS chunk_id,
+  CAST(len(list_slice(toks, start + 1, start + {_CHUNK_SIZE})) AS INT) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(toks, start + 1, start + {_CHUNK_SIZE}), ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+@register("doc_chunks_udtf", _DOC_CHUNKS_ORACLE)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking via a LATERAL Python UDTF
+    (ArrowEvalPythonUDTF — the one-to-many Python lane with per-row control
+    flow, vs explode's array-shaped expansion). The oracle replays the
+    identical start/stride/slice arithmetic in SQL, so the UDTF's row
+    generation is hash-checked end-to-end. chunk_md5 keys the chunks for
+    the downstream chunk-dedup queries."""
+    from shortvideohybridanalyticslakehouse_spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    register_udtfs(spark)
+    docs.createOrReplaceTempView("doc_chunk_src")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens,
+               md5(c.chunk_text) AS chunk_md5
+        FROM doc_chunk_src d,
+             LATERAL chunk_document(d.text, {_CHUNK_SIZE}, {_CHUNK_OVERLAP}) c
+        """
+    )
