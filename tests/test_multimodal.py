@@ -123,3 +123,36 @@ def test_raster_decode_stats_spark(spark):
             for i in range(r.width * r.height)
         )
         assert r.mean_luma == round(tot / (1000.0 * r.width * r.height), 6)
+
+
+def test_raster_round_trip_property():
+    """Property: decode(encode(w, h, rgb)) == (w, h, rgb) for BOTH formats
+    over arbitrary dims (BMP stride padding varies with w % 4) and pixels."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        fmt=st.sampled_from(["bmp", "ppm"]),
+    )
+    def check(w, h, seed, fmt):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+        enc = multimodal.encode_bmp if fmt == "bmp" else multimodal.encode_ppm
+        got_fmt, w2, h2, px = multimodal.decode_raster(enc(w, h, rgb))
+        assert (got_fmt, w2, h2) == (fmt, w, h)
+        assert px.tobytes() == rgb
+
+    check()
+
+
+def test_ppm_header_with_comments():
+    import numpy as np
+
+    rgb = (np.arange(3 * 4 * 2) % 256).astype(np.uint8).tobytes()
+    payload = b"P6\n# a comment line\n4 2\n# another\n255\n" + rgb
+    fmt, w, h, px = multimodal.decode_raster(payload)
+    assert (fmt, w, h) == ("ppm", 4, 2) and px.tobytes() == rgb
