@@ -67,6 +67,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext41,
         queries_ext42,
         queries_ext43,
+        queries_ext44,
     )
 
     return REGISTRY
