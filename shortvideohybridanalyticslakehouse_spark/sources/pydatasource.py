@@ -1,0 +1,91 @@
+"""Custom Python data source (Spark 4 DataSource API): a DISTRIBUTED
+deterministic event generator — `spark.read.format("svh_synth_events")`.
+
+Why it matters at scale: the generator package (generator/runner.py)
+builds fixtures driver-side as Python lists — right for byte-exact
+golden files, wrong for load-testing a cluster (one process materializes
+everything). This source moves generation INTO the scan: each input
+partition derives its rows purely from (seed, partition_id, row_index),
+so a 10^9-row synthetic table costs zero driver memory, scales with
+executors, and is bit-identical regardless of partition count — the
+partition-invariance the tests pin.
+
+Determinism contract: row i (global index) of a run with seed s is a pure
+function of md5(f"{s}|{i}") — no RNG state, no partition coupling. The
+same recipe as the deterministic generator module, expressed per-row so
+any partitioning yields the same multiset.
+
+Usage:
+    spark.dataSource.register(SynthEventsDataSource)
+    df = (spark.read.format("svh_synth_events")
+          .option("n_rows", 100000).option("seed", 42)
+          .option("n_partitions", 32).load())
+
+Reference analog: the reference's load generator is a single-process Kafka
+producer (SURVEY §2.12); this is its cluster-native batch twin.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+_START = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _row(seed: int, i: int):
+    """Pure per-row derivation: global index -> event tuple."""
+    h = hashlib.md5(f"{seed}|{i}".encode()).digest()
+    user_id = int.from_bytes(h[0:4], "big") % 1000
+    etype = _EVENT_TYPES[h[4] % len(_EVENT_TYPES)]
+    value = round((int.from_bytes(h[5:8], "big") % 100_000) / 100.0, 2)
+    # monotone-ish event time: index drives the clock, hash adds jitter
+    ts = _START + timedelta(milliseconds=i * 100 + h[8] % 100)
+    return (i, ts.replace(tzinfo=None), user_id, etype, value)
+
+
+class _Partition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.seed = int(options.get("seed", 42))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        n, p = self.n_rows, max(self.n_partitions, 1)
+        chunk = (n + p - 1) // p
+        return [
+            _Partition(s, min(s + chunk, n), self.seed)
+            for s in range(0, n, chunk)
+        ]
+
+    def read(self, partition: _Partition):
+        for i in range(partition.start, partition.end):
+            yield _row(partition.seed, i)
+
+
+class SynthEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "svh_synth_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+
+    def reader(self, schema):
+        return SynthEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(SynthEventsDataSource)
