@@ -30,7 +30,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 _START = datetime(2026, 1, 1, tzinfo=timezone.utc)
@@ -85,7 +90,39 @@ class SynthEventsDataSource(DataSource):
     def reader(self, schema):
         return SynthEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SynthEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(SynthEventsDataSource)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: each micro-batch emits the next ``rows_per_batch``
+    rows of the SAME deterministic sequence (offset = global row index, so
+    replays after failure regenerate identical data — the exactly-once
+    property a replayable source must give the engine). Bounded by
+    ``max_rows`` so availableNow-style drains terminate."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        s = int(start["index"])
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return (self._rows(s, e), {"index": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # failure replay: regenerate the exact slice from the pure function
+        return self._rows(int(start["index"]), int(end["index"]))
+
+    def _rows(self, s: int, e: int):
+        return iter([_row(self.seed, i) for i in range(s, e)])
+

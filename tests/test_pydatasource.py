@@ -48,3 +48,49 @@ def test_composes_with_engine_plans(spark):
     )
     rows = agg.orderBy(F.col("spend").desc()).limit(5).collect()
     assert rows and all(r.spend > 0 for r in rows)
+
+
+def test_streaming_reader_deterministic_batches(spark, tmp_path):
+    """The streaming twin drains the same deterministic sequence in
+    rows_per_batch micro-batches; the union of batches equals the batch
+    read of the same (seed, n) range."""
+    import os
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("svh_synth_events")
+        .option("seed", 5)
+        .option("rows_per_batch", 100)
+        .option("max_rows", 600)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # drain: the bounded source stops yielding rows at max_rows
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("select count(*) c from synth_stream").first()["c"] >= 600:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(map(tuple, spark.sql("select * from synth_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            _read(spark, n_rows=600, seed=5, n_partitions=3).collect(),
+        )
+    )
+    assert got == want
+    # multiple micro-batches actually ran
+    import json
+
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    assert sum(1 for p in progs if p.get("numInputRows", 0) > 0) >= 3
