@@ -577,15 +577,20 @@ def reband_hot_buckets(
             .filter(F.col("_n") > bucket_cap)
             .select("bkey")
         )
-        hot_keys = [r["bkey"] for r in hot.collect()]
-        if not hot_keys:
+        hot_rows = (
+            banded.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .collect()
+        )
+        if not hot_rows:
             break
         spark = banded.sparkSession
         hot_df = spark.createDataFrame(
-            [(kk,) for kk in hot_keys], "bkey string"
-        ).withColumn("_hot", F.lit(True))
+            [(r["bkey"], r["_n"]) for r in hot_rows], "bkey string, _pn long"
+        )
         flagged = banded.join(F.broadcast(hot_df), "bkey", "left")
-        cold = flagged.filter(F.col("_hot").isNull()).drop("_hot")
+        cold = flagged.filter(F.col("_pn").isNull()).drop("_pn")
         subs = F.array(
             *[
                 F.struct(
@@ -596,9 +601,10 @@ def reband_hot_buckets(
             ]
         )
         hot_ext = (
-            flagged.filter(F.col("_hot").isNotNull())
-            .drop("_hot")
+            flagged.filter(F.col("_pn").isNotNull())
             .withColumn("_s", F.explode(subs))
+            .withColumn("_parent", F.col("bkey"))
+            .withColumn("_g", F.col("_s.g"))
             .withColumn(
                 "bkey",
                 F.concat_ws(
@@ -611,6 +617,33 @@ def reband_hot_buckets(
                 ),
             )
             .drop("_s")
+        )
+        # Sterile-window dedup: a child bucket with the SAME count as its
+        # parent is the identical member set (the window didn't split at
+        # all — e.g. members sharing every fingerprint bit the level
+        # inspects). All such full copies of one parent are equal sets, so
+        # keep only the lowest-g one: without this, an unsplittable bucket
+        # multiplies rows by n_bands^level for zero benefit.
+        from pyspark.sql import Window as _W
+
+        child_sizes = hot_ext.groupBy("_parent", "_g", "bkey").agg(
+            F.count(F.lit(1)).alias("_cn")
+        )
+        drop = (
+            child_sizes.join(
+                F.broadcast(hot_df.withColumnRenamed("bkey", "_parent")),
+                "_parent",
+            )
+            .filter(F.col("_cn") == F.col("_pn"))
+            .withColumn("_ming", F.min("_g").over(_W.partitionBy("_parent")))
+            .filter(F.col("_g") != F.col("_ming"))
+            .select("bkey")
+            .withColumn("_drop", F.lit(True))
+        )
+        hot_ext = (
+            hot_ext.join(F.broadcast(drop), "bkey", "left")
+            .filter(F.col("_drop").isNull())
+            .drop("_drop", "_parent", "_g", "_pn")
         )
         nxt = cold.unionByName(hot_ext).persist(StorageLevel.MEMORY_AND_DISK)
         banded.unpersist()

@@ -185,3 +185,28 @@ def test_lsh_blocked_gemm_equivalent(spark, monkeypatch):
         emb, n_planes=16, band_size=2, k=20, bucket_cap=None
     ).collect()
     assert [tuple(r) for r in blocked] == [tuple(r) for r in base]
+
+
+def test_lsh_terminal_unsplittable_bucket_blocked_gemm(spark, monkeypatch):
+    """Adversarial terminal case: many DISTINCT vectors sharing one full
+    sketch (all on one ray + tiny noise) — no sketch bits can split them,
+    so the bucket exceeds the cap all the way down and the blocked GEMM
+    backstop must score it correctly (and identically to the uncapped
+    one-shot tile)."""
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = []
+    for i in range(120):
+        scale = 1.0 + 0.01 * i
+        noise = [rng.gauss(0, 1e-4) for _ in range(64)]
+        rows.append((i, [base[d] * scale + noise[d] for d in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(similarity, "_VEC_TILE", 32)
+    capped = similarity.lsh_bucket_topk_pairs(
+        emb, n_planes=16, band_size=2, k=20, bucket_cap=16, max_extra_levels=4
+    ).collect()
+    uncapped = similarity.lsh_bucket_topk_pairs(
+        emb, n_planes=16, band_size=2, k=20, bucket_cap=None
+    ).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in uncapped]
+    assert len(capped) == 20 and all(r.cosine_sim > 0.99 for r in capped)
