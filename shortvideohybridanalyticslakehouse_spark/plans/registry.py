@@ -68,6 +68,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext42,
         queries_ext43,
         queries_ext44,
+        queries_ext45,
     )
 
     return REGISTRY
