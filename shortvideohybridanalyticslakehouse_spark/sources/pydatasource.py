@@ -95,8 +95,9 @@ class SynthEventsDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
+    """Idempotently register every custom source on a session."""
     spark.dataSource.register(SynthEventsDataSource)
+    spark.dataSource.register(SynthContentEventsDataSource)
 
 
 class SynthEventsStreamReader(SimpleDataSourceStreamReader):
@@ -126,3 +127,118 @@ class SynthEventsStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, s: int, e: int):
         return iter([_row(self.seed, i) for i in range(s, e)])
 
+
+
+# ---------------------------------------------------------------------------
+# Content-event twin: the engine's raw ingestion contract as a custom source
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES = (
+    "impression",
+    "play_start",
+    "play_finish",
+    "like",
+    "share",
+    "skip",
+)
+
+
+def _content_row(seed: int, i: int):
+    """One raw content-event JSON line (the S1 ingestion contract), pure in
+    (seed, i) — valid rows only; validation-path fixtures plant their own
+    malformed records."""
+    import json as _json
+
+    h = hashlib.md5(f"{seed}|content|{i}".encode()).digest()
+    ts = _START + timedelta(milliseconds=i * 500 + h[8] % 500)
+    payload = {
+        "watch_time_ms": int.from_bytes(h[0:2], "big") % 30_000,
+        "device_os": ("ios", "android")[h[2] % 2],
+        "app_version": f"1.{h[3] % 9}.0",
+        "network_type": ("wifi", "5g", "4g")[h[4] % 3],
+        "scenario_id": "synth",
+    }
+    doc = {
+        "event_id": f"e{seed}-{i}",
+        "event_timestamp": ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z",
+        "video_id": f"v{int.from_bytes(h[5:7], 'big') % 50}",
+        "user_id": f"u{int.from_bytes(h[9:11], 'big') % 200}",
+        "event_type": _CONTENT_TYPES[h[11] % len(_CONTENT_TYPES)],
+        "schema_version": "1.0",
+        "payload_json": _json.dumps(payload, sort_keys=True),
+    }
+    return (_json.dumps(doc, sort_keys=True),)
+
+
+class SynthContentEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 5_000))
+        self.seed = int(options.get("seed", 42))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        n, p = self.n_rows, max(self.n_partitions, 1)
+        chunk = (n + p - 1) // p
+        return [
+            _Partition(s, min(s + chunk, n), self.seed)
+            for s in range(0, n, chunk)
+        ]
+
+    def read(self, partition: _Partition):
+        for i in range(partition.start, partition.end):
+            yield _content_row(partition.seed, i)
+
+
+class SynthContentEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rows_per_batch", 200))
+        self.max_rows = int(options.get("max_rows", 5_000))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        s = int(start["index"])
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return (iter([_content_row(self.seed, i) for i in range(s, e)]), {"index": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_content_row(self.seed, i) for i in range(int(start["index"]), int(end["index"]))]
+        )
+
+
+class SynthContentEventsDataSource(DataSource):
+    """`svh_synth_content_events`: raw content-event JSON lines (the exact
+    S1 ingestion contract) generated inside the scan, batch or streaming.
+    Compose with `as_raw_stream` to feed start_content_events_job — the
+    engine's full parse -> validate -> dedup -> gold pipeline runs on a
+    custom Python source exactly as it does on files or Kafka."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "svh_synth_content_events"
+
+    def schema(self) -> str:
+        return "raw_value string"
+
+    def reader(self, schema):
+        return SynthContentEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SynthContentEventsStreamReader(self.options)
+
+
+def as_raw_stream(df):
+    """Adapt a raw_value relation (batch or streaming) to the kafka-shaped
+    source frame the streaming jobs expect — same synthesized metadata as
+    read_json_file_stream."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("topic", F.lit("svh_synth"))
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.xxhash64(F.col("raw_value")))
+        .withColumn("kafka_timestamp", F.current_timestamp())
+    )

@@ -94,3 +94,95 @@ def test_streaming_reader_deterministic_batches(spark, tmp_path):
 
     progs = [json.loads(p.json) for p in q.recentProgress]
     assert sum(1 for p in progs if p.get("numInputRows", 0) > 0) >= 3
+
+
+def test_content_events_job_on_custom_source(spark, tmp_path):
+    """The engine's full parse -> validate -> dedup -> 1-min gold pipeline
+    runs unchanged on the custom Python streaming source, and its gold
+    table matches the batch twin computed from the SAME deterministic
+    rows — source-agnosticism, end to end."""
+    import os
+
+    from shortvideohybridanalyticslakehouse_spark.streaming import jobs as sjobs
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("svh_synth_content_events")
+        .option("seed", 9)
+        .option("rows_per_batch", 400)
+        .option("max_rows", 1200)
+        .load()
+    )
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    queries = sjobs.start_content_events_job(
+        spark,
+        pydatasource.as_raw_stream(stream),
+        out,
+        ckpt,
+        trigger={"processingTime": "0 seconds"},
+    )
+    import json as _json
+    import time
+
+    # drain: every query reports its source offset at max_rows with no
+    # further input
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        done = 0
+        for q in queries:
+            lp = q.lastProgress
+            if not lp:
+                continue
+            prog = _json.loads(lp.json) if hasattr(lp, "json") else lp
+            src = (prog.get("sources") or [{}])[0]
+            end = src.get("endOffset")
+            if isinstance(end, str):
+                try:
+                    end = _json.loads(end)
+                except ValueError:
+                    end = {}
+            if (end or {}).get("index") == 1200 and prog.get("numInputRows") == 0:
+                done += 1
+        if done == len(queries):
+            break
+        time.sleep(2)
+    for q in queries:
+        q.stop()
+    bronze_path = os.path.join(out, "bronze_raw_events")
+    bronze = spark.read.parquet(bronze_path)
+    assert bronze.count() == 1200  # all synth rows are valid; none dropped
+
+    # batch twin: identical rows through the batch validate + gold agg
+    from shortvideohybridanalyticslakehouse_spark.operators.validate import (
+        annotate_content_errors,
+        parse_content_events,
+    )
+    from shortvideohybridanalyticslakehouse_spark.operators.aggregate import (
+        tumbling_window_agg,
+    )
+    from shortvideohybridanalyticslakehouse_spark.plans import serving
+    from pyspark.sql import functions as F
+
+    batch_raw = pydatasource.as_raw_stream(
+        spark.read.format("svh_synth_content_events")
+        .option("seed", 9)
+        .option("n_rows", 1200)
+        .load()
+    )
+    parsed = annotate_content_errors(parse_content_events(batch_raw))
+    valid = parsed.filter(F.col("error_code").isNull())
+    gold_batch = tumbling_window_agg(
+        valid,
+        ts_col="event_timestamp",
+        key_cols=["video_id"],
+        window_duration="1 minute",
+        count_conditions=serving.gold_count_conditions(),
+        sum_exprs={"watch_time_sum_ms": F.col("watch_time_ms")},
+        with_processed_at=False,
+    )
+    gold_stream = spark.read.parquet(os.path.join(out, "rt_video_stats_1min"))
+    cols = ["video_id", "window_start", "watch_time_sum_ms"]
+    got = sorted(tuple(r) for r in gold_stream.select(*cols).collect())
+    want = sorted(tuple(r) for r in gold_batch.select(*cols).collect())
+    assert got == want
