@@ -205,9 +205,17 @@ def main() -> int:
     events.sort(key=_ts)  # time-ordered files => watermark advances per batch
     n_files = 20
     chunk = max(1, (len(events) + n_files - 1) // n_files)
+    import time as _time
+
+    base_mtime = _time.time() - 3600
     for i in range(0, len(events), chunk):
-        with open(os.path.join(soak_src, f"part-{i//chunk:04d}.jsonl"), "w") as f:
+        fp = os.path.join(soak_src, f"part-{i//chunk:04d}.jsonl")
+        with open(fp, "w") as f:
             f.write("\n".join(events[i : i + chunk]))
+        # FileStreamSource orders by mtime, not name: pin strictly
+        # increasing mtimes so arrival order = event-time order and the
+        # watermark-eviction gate measures eviction, not reorder drops.
+        os.utime(fp, (base_mtime + i // chunk, base_mtime + i // chunk))
     prev_state_conf = stateful.apply_rocksdb_state(spark)
     try:
         soak_queries = sjobs.start_content_events_job(
