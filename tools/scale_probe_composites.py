@@ -161,16 +161,16 @@ def pagerank_over(docs, iters: int = 3, base_rank: float = 0.15, damp: float = 0
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # mirror queries_ext38: loop-invariant degree attached once
+    edges = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).persist()
     nodes = docs.select("doc_id").distinct()
-    degrees = edges.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
     rank = nodes.withColumn("rank", F.lit("1.0").cast("decimal(28,12)"))
     for _ in range(iters):
         contrib = (
             edges.join(rank.withColumnRenamed("doc_id", "src"), "src")
-            .join(degrees.withColumnRenamed("doc_id", "src"), "src")
             .select(
                 F.col("dst").alias("doc_id"),
                 F.round(F.col("rank").cast("double") / F.col("deg"), 12)
