@@ -350,6 +350,52 @@ def plane_signs(n_planes: int = 16, dim: int = 64) -> list[list[int]]:
     ]
 
 
+def with_hyperplane_sketch(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    out_col: str = "_sk",
+    dim: int = 64,
+) -> Column:
+    """Arrow-lane twin of :func:`hyperplane_sketch`: appends the sketch
+    column via one mapInPandas pass instead of 16 interpreted HOF
+    aggregates per row.
+
+    BIT-IDENTICAL to the HOF (and to the DuckDB list_sum oracles) because
+    the projection accumulates in the SAME dimension order — one
+    vectorized add per d, sequential over d — so the IEEE rounding
+    sequence of every row's dot product matches the per-row fold exactly;
+    a pairwise/numpy-dot summation would round differently and could flip
+    near-zero signs. Measured: the 100k-vector hot-bucket probe's sketch
+    cost drops from minutes (16 x 64 interpreted lambda evals per row) to
+    sub-second.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    signs = np.array(plane_signs(n_planes, dim), dtype=np.float64)
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = np.zeros(len(pdf), dtype=np.int64)
+            for p in range(n_planes):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + mat[:, d] * signs[p, d]  # HOF fold order
+                bits |= (acc > 0).astype(np.int64) << p
+            pdf = pdf.copy()
+            pdf[out_col] = bits
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def lsh_candidate_pairs(
     corpus: DataFrame,
     n_planes: int = 16,
@@ -365,8 +411,8 @@ def lsh_candidate_pairs(
     recall, more candidates).
     """
     n_bands = n_planes // band_size
-    sketched = corpus.select(
-        F.col(id_col), F.col(vec_col), hyperplane_sketch(F.col(vec_col), n_planes).alias("_sk")
+    sketched = with_hyperplane_sketch(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, n_planes, "_sk"
     )
     mask = (1 << band_size) - 1
     bands = F.array(
@@ -614,10 +660,8 @@ def lsh_rebanded_keys(
         base = collapse_to_smallest_ids(
             base, F.xxhash64(F.col(vec_col)), id_col, k + 1
         )
-    sketched = base.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_sketch(F.col(vec_col), n_planes).alias("_sk"),
+    sketched = with_hyperplane_sketch(
+        base.select(F.col(id_col), F.col(vec_col)), vec_col, n_planes, "_sk"
     )
     bands = F.array(
         *[

@@ -77,9 +77,17 @@ def planted_fingerprints(spark, n: int):
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [50_000, 500_000]
+    args = sys.argv[1:]
+    do_vectors = "--vectors" in args
+    sizes = [int(a) for a in args if a.isdigit()] or (
+        [20_000, 200_000] if do_vectors else [50_000, 500_000]
+    )
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if do_vectors:
+        vector_probe(spark, sizes)
+        spark.stop()
+        return
     for n in sizes:
         fp = planted_fingerprints(spark, n).cache()
         fp.count()
@@ -109,6 +117,59 @@ def main() -> None:
             )
         fp.unpersist()
     spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# Vector-side twin: planted duplicate-heavy embedding corpus
+# ---------------------------------------------------------------------------
+
+
+def planted_vectors(spark, n: int, dim: int = 64):
+    """30% exact-duplicate vectors (one shared embedding) + 70% distinct
+    hash-derived vectors — the mass-duplicate corpus shape that makes one
+    sketch bucket hold 30% of all rows. Spark-native generation."""
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    dup_flag = F.col("vec_id") < int(0.3 * n)
+    comps = []
+    for d in range(dim):
+        # deterministic pseudo-gaussian-ish component in [-1, 1)
+        h = F.xxhash64(F.col("vec_id"), F.lit(d))
+        rnd = (F.abs(h) % 2_000_000).cast("double") / 1_000_000.0 - 1.0
+        dup_h = F.xxhash64(F.lit(-1), F.lit(d))
+        dup_v = (F.abs(dup_h) % 2_000_000).cast("double") / 1_000_000.0 - 1.0
+        comps.append(F.when(dup_flag, dup_v).otherwise(rnd))
+    return base.select("vec_id", F.array(*comps).alias("embedding"))
+
+
+def vector_probe(spark, sizes) -> None:
+    from shortvideohybridanalyticslakehouse_spark.functions import similarity
+
+    for n in sizes:
+        emb = planted_vectors(spark, n).cache()
+        emb.count()
+        print(f"\n=== {n} vectors, {int(0.3*n)} exact duplicates ===", flush=True)
+        t0 = time.time()
+        capped = similarity.lsh_bucket_topk_pairs(emb, k=20).collect()
+        print(f"capped (collapse+reband): {time.time() - t0:7.2f} s", flush=True)
+        dup_pairs = int(0.3 * n) * (int(0.3 * n) - 1) // 2
+        if dup_pairs > 2e8:
+            print(
+                f"uncapped: SKIPPED ({dup_pairs:.1e} duplicate pairs through "
+                "one bucket GEMM — the term the collapse deletes)",
+                flush=True,
+            )
+        else:
+            t0 = time.time()
+            uncapped = similarity.lsh_bucket_topk_pairs(
+                emb, k=20, bucket_cap=None
+            ).collect()
+            same = [tuple(r) for r in capped] == [tuple(r) for r in uncapped]
+            print(
+                f"uncapped (one task):      {time.time() - t0:7.2f} s  "
+                f"identical output: {same}",
+                flush=True,
+            )
+        emb.unpersist()
 
 
 if __name__ == "__main__":
