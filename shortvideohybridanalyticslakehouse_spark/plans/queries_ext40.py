@@ -172,7 +172,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    )
+    ).persist()
 
     with_sig = dedupfns.minhash_signatures_df(
         s3, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
