@@ -571,12 +571,6 @@ def reband_hot_buckets(
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     for lvl in range(1, max_extra_levels + 1):
-        hot = (
-            banded.groupBy("bkey")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > bucket_cap)
-            .select("bkey")
-        )
         hot_rows = (
             banded.groupBy("bkey")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -646,6 +640,10 @@ def reband_hot_buckets(
             .drop("_drop", "_parent", "_g", "_pn")
         )
         nxt = cold.unionByName(hot_ext).persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize the new frontier BEFORE dropping the old one so the
+        # next level's count (and the final scorer) read cached rows instead
+        # of recomputing the whole fingerprint lineage from scratch.
+        nxt.count()
         banded.unpersist()
         banded = nxt
     return banded

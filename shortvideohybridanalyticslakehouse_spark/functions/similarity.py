@@ -647,6 +647,12 @@ def lsh_rebanded_keys(
         reband_hot_buckets,
     )
 
+    if n_planes % band_size != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by band_size "
+            f"({band_size}): the re-band levels partition ALL sketch bits "
+            "into equal groups (the pigeonhole invariant)."
+        )
     n_bands = n_planes // band_size
     mask = (1 << band_size) - 1
     base = corpus.select(F.col(id_col), F.col(vec_col))
@@ -689,13 +695,19 @@ def lsh_rebanded_keys(
 
     def sub_val(sk: Column, lvl: int, g: int) -> Column:
         # Level lvl groups sketch bit p by (p * s) % n_planes // band_size
-        # with s odd (a bijection on Z_16), so each level is a FRESH
-        # partition of all n_planes bits into n_bands groups — pigeonhole
-        # holds per level, and chains of levels constrain fresh bits.
+        # with s odd. When gcd(s, n_planes) == 1 this is a bijection on
+        # Z_{n_planes}, so each level is a FRESH partition of all n_planes
+        # bits into n_bands equal groups — pigeonhole holds per level, and
+        # chains of levels constrain fresh bits. For n_planes sharing a
+        # factor with s (e.g. n_planes=15 at lvl=1) some groups receive no
+        # bits; those degrade safely to a constant 0 sub-key (no split from
+        # that group, never an invalid Column).
         s = 2 * lvl + 1
         bits = [
             p for p in range(n_planes) if ((p * s) % n_planes) // band_size == g
         ]
+        if not bits:
+            return F.lit(0)
         val = None
         for j, p in enumerate(bits):
             term = F.shiftleft(

@@ -86,24 +86,39 @@ def with_distributed_row_number(
     counts = bucketed.groupBy(
         *[F.col(c) for c in part_cols], F.col("_bucket")
     ).agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = (
-        Window.partitionBy(*part_cols)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-        if part_cols
-        else Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = (
-        Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
-    )
-    # counts is |groups| x n_buckets rows — the windows here are over the
-    # tiny side and the result is broadcast back to the scan
-    offsets = counts.select(
-        *part_cols,
-        "_bucket",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(w_tot).alias(n_col),
-    )
+    # counts is |groups| x n_buckets rows — the prefix offsets run over the
+    # tiny side and the result is broadcast back to the scan.
+    if part_cols:
+        w_off = (
+            Window.partitionBy(*part_cols)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_tot = Window.partitionBy(*part_cols)
+        offsets = counts.select(
+            *part_cols,
+            "_bucket",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(w_tot).alias(n_col),
+        )
+    else:
+        # Global case: an unpartitioned window (even over this O(buckets)
+        # frame) plans a single-partition WindowExec and logs a scale
+        # warning on every rank-family query. A broadcast O(buckets^2)
+        # range self-join computes the same exclusive prefix with no
+        # window at all — bounded by n_buckets (~64), never the data.
+        prev = counts.select(
+            F.col("_bucket").alias("_pb"), F.col("_cnt").alias("_pc")
+        )
+        offsets = (
+            counts.join(
+                F.broadcast(prev), F.col("_pb") < F.col("_bucket"), "left"
+            )
+            .groupBy("_bucket", "_cnt")
+            .agg(F.coalesce(F.sum("_pc"), F.lit(0)).alias("_off"))
+            .crossJoin(F.broadcast(counts.agg(F.sum("_cnt").alias(n_col))))
+            .select("_bucket", "_off", n_col)
+        )
 
     w_rn = Window.partitionBy(
         *[F.col(c) for c in part_cols], F.col("_bucket")
@@ -158,18 +173,33 @@ def with_distributed_prefix_sum(
     sums = bucketed.groupBy(
         *[F.col(c) for c in part_cols], F.col("_bucket")
     ).agg(F.sum(value_col).alias("_bsum"))
-    w_off = (
-        Window.partitionBy(*part_cols)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-        if part_cols
-        else Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = sums.select(
-        *part_cols,
-        "_bucket",
-        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_off"),
-    )
+    # Same O(buckets)-frame invariant as with_distributed_row_number: in
+    # the global case the exclusive prefix comes from a broadcast
+    # O(buckets^2) range self-join (no window, no single-partition
+    # WindowExec warning); grouped case keeps the per-group window.
+    if part_cols:
+        w_off = (
+            Window.partitionBy(*part_cols)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = sums.select(
+            *part_cols,
+            "_bucket",
+            F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_off"),
+        )
+    else:
+        prev = sums.select(
+            F.col("_bucket").alias("_pb"), F.col("_bsum").alias("_ps")
+        )
+        offsets = (
+            sums.join(
+                F.broadcast(prev), F.col("_pb") < F.col("_bucket"), "left"
+            )
+            .groupBy("_bucket", "_bsum")
+            .agg(F.coalesce(F.sum("_ps"), F.lit(0)).alias("_off"))
+            .select("_bucket", "_off")
+        )
 
     w_run = (
         Window.partitionBy(*[F.col(c) for c in part_cols], F.col("_bucket"))

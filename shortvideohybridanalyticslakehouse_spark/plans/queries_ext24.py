@@ -63,7 +63,9 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = orders.select(d.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("n")
     )
-    w_total = Window.partitionBy()
+    # O(9)-row frame (one row per leading digit): single partition is the
+    # design; non-foldable constant key silences the WindowExec warning.
+    w_total = Window.partitionBy(F.col("d") * 0)
     expected = F.create_map(
         *[x for dd, p in _BENFORD_EXPECTED.items() for x in (F.lit(dd), F.lit(p))]
     )[F.col("d")]

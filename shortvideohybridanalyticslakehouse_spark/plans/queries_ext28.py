@@ -65,12 +65,11 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.length(text) > 0)
         .select("doc_id", "source", F.explode(F.split(text, " ", -1)).alias("tok"))
     )
-    from pyspark.sql import Window
-
-    vocab = (
-        occ.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_tok"))
-        .withColumn("n_total", F.sum("n_tok").over(Window.partitionBy()))
+    # Broadcast 1-row corpus total (exchange-reused) instead of funneling
+    # the whole vocab through an unpartitioned window — see queries_ext42.
+    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("n_tok").alias("n_total")))
     )
     bits = -F.log2(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
     scored = (

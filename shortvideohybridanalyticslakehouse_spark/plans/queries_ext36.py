@@ -153,7 +153,9 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy()
+    # O(sources)-row frame: single partition is the design; non-foldable
+    # constant key silences the WindowExec warning.
+    w = Window.partitionBy(F.col("tokens") * 0)
     powed = F.round(F.sqrt(F.col("tokens").cast("double")), 6).cast(
         "decimal(28,6)"
     )

@@ -20,7 +20,10 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext import (
     _DUCK_BASES,
     _duck_shingles,
 )
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _DAMP = "0.85"
@@ -151,13 +154,16 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(28,12)")
             .alias("rank"),
         )
-    return (
+    top = (
         rank.select(
             "doc_id", F.round(F.col("rank").cast("double"), 9).alias("pagerank")
         )
         .orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+    # Top-20 is driver-bounded: materialize it, then drop the persisted
+    # edge relation so the cache doesn't outlive the query.
+    return finalize_bounded(top, edges)
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +276,7 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges")
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    out = (
         n_edges.crossJoin(F.broadcast(tri))
         .crossJoin(F.broadcast(wedges))
         .select(
@@ -285,3 +291,5 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+    # Single summary row: materialize, then free both persisted graph frames.
+    return finalize_bounded(out, pairs, oriented)

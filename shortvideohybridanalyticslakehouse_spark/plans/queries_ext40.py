@@ -31,7 +31,10 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext9 import (
     QF_MIN_TOKENS,
     QF_MIN_TTR,
 )
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _FUNNEL_ORACLE = rf"""
@@ -208,7 +211,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"),
         ).select("stage_no", "stage", "n_docs", "n_tokens")
 
-    return (
+    report = (
         stage(base, 0, "raw")
         .unionByName(stage(s1, 1, "language"))
         .unionByName(stage(s2, 2, "quality"))
@@ -217,3 +220,6 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s5, 5, "decontaminated"))
         .orderBy("stage_no")
     )
+    # Six-row funnel report: materialize it, then release the persisted
+    # exact-dedup hub frame so the cache doesn't outlive the query.
+    return finalize_bounded(report, s3)

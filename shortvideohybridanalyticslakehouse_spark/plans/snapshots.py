@@ -137,8 +137,11 @@ def rollback(base: str, version: int) -> int:
     # HISTORY (committed once, restorable by a later roll-forward) from
     # crashed-commit ORPHANS (never committed). Without it, a vacuum run
     # between rollback and the next commit would permanently delete the
-    # rolled-back versions.
-    hwm = max([_rollback_hwm(base), *_versions(base), -1])
+    # rolled-back versions. The mark covers versions up to the PRE-rollback
+    # pointer only — dirs above it were never committed (crash debris) and
+    # must stay eligible for vacuum's orphan collection.
+    committed = _committed_version(base)
+    hwm = max(_rollback_hwm(base), committed if committed is not None else -1)
     tmp_h = os.path.join(base, f"{_HWM}.tmp.rb{version}")
     with open(tmp_h, "w") as f:
         f.write(str(hwm))
