@@ -400,3 +400,219 @@ def raster_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, RASTER_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio lane: RIFF/WAVE 16-bit PCM — real header+frame parsing, no codec libs
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
+    """Canonical RIFF/WAVE container around 16-bit little-endian PCM.
+
+    ``samples`` is the INTERLEAVED int16 frame stream (frame-major:
+    [ch0, ch1, ch0, ch1, ...]). Layout written: RIFF chunk + "WAVE" form,
+    a 16-byte PCM "fmt " subchunk (audio_format=1, bits=16) and the "data"
+    subchunk — the exact on-disk layout every WAV reader expects.
+    """
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+
+    def _le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    fmt = (
+        b"fmt "
+        + _le(16, 4)
+        + _le(1, 2)  # PCM
+        + _le(channels, 2)
+        + _le(sample_rate, 4)
+        + _le(byte_rate, 4)
+        + _le(block_align, 2)
+        + _le(16, 2)  # bits/sample
+    )
+    data = b"data" + _le(len(pcm), 4) + pcm + (b"\x00" if len(pcm) % 2 else b"")
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + _le(len(body), 4) + body
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE payload into (sample_rate, channels, frames).
+
+    Real container parsing: verifies the RIFF/WAVE magic, then WALKS the
+    subchunk list (skipping unknown chunks like LIST/INFO and honoring the
+    odd-size pad byte) to find "fmt " and "data" — not a fixed 44-byte
+    offset, which breaks on any file with metadata chunks. Supports
+    uncompressed 16-bit PCM (audio_format 1); anything else raises
+    ValueError so callers can fall back explicitly. Returns ``frames`` as
+    an (n_frames, channels) int16 ndarray.
+    """
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    end = min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size % 2)  # chunks are word-aligned: pad byte
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or channels < 1:
+        raise ValueError("unsupported WAV variant (need 16-bit PCM)")
+    n = len(data) // (2 * channels)
+    frames = np.frombuffer(data[: n * 2 * channels], dtype="<i2").reshape(
+        n, channels
+    )
+    return sample_rate, channels, frames
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("rms_micro", LongType()),
+    ]
+)
+
+
+def wav_stats(sample_rate: int, channels: int, frames) -> dict:
+    """Integer-exact amplitude features over decoded PCM frames.
+
+    peak/sum of |sample| and the sum of squares accumulate in int64
+    (exact); rms_micro = floor(sqrt(sum_sq / n) * 1e6) keeps the one
+    floating step bit-reproducible cross-engine (exact int operands ->
+    correctly-rounded IEEE divide/sqrt/multiply -> floor; no round-half
+    semantics to disagree on). duration_ms is integer floor division.
+    """
+    import math
+
+    import numpy as np
+
+    s = frames.astype(np.int64).ravel()
+    n = int(s.size)
+    n_frames = int(frames.shape[0])
+    sum_sq = int((s * s).sum())
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000) // sample_rate,
+        "peak_abs": int(np.abs(s).max()) if n else 0,
+        "sum_abs": int(np.abs(s).sum()),
+        "rms_micro": int(math.floor(math.sqrt(sum_sq / n) * 1_000_000))
+        if n
+        else 0,
+    }
+
+
+def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode + feature extraction over mapInPandas: parse each
+    RIFF/WAVE payload (chunk walk, PCM frame deinterleave) and emit the
+    typed audio metadata plus integer-exact amplitude features. Arrow
+    moves payload batches zero-copy; numpy does the sample math."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                rate, ch, frames = decode_wav(bytes(p))
+                rows.append(wav_stats(rate, ch, frames))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "channels",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "peak_abs",
+                    "sum_abs",
+                    "rms_micro",
+                ],
+            )
+            out.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(batches, WAV_STATS_SCHEMA)
+
+
+def synthetic_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic audio fixture generator (the WAV twin of
+    synthetic_raster_payloads): per id, a clip whose format fields and
+    every PCM sample are closed-form functions of the id —
+
+        channels     = 1 + id % 2
+        sample_rate  = 8000 + (id % 3) * 4000
+        n_frames     = 400 + id % 241
+        interleaved sample i = ((id*37 + i*13) % 4001) - 2000
+
+    encoded as a REAL RIFF/WAVE container. Every third id also gets a
+    LIST/INFO metadata chunk BEFORE fmt/data, so decoders that assume the
+    fixed 44-byte layout (instead of walking chunks) fail the oracle. The
+    closed form lets a SQL oracle verify the DECODED features analytically
+    without parsing binaries.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            ids = pdf[id_col].astype("int64")
+            for d in ids:
+                d = int(d)
+                channels = 1 + d % 2
+                rate = 8000 + (d % 3) * 4000
+                n_frames = 400 + d % 241
+                i = np.arange(n_frames * channels, dtype=np.int64)
+                samples = ((d * 37 + i * 13) % 4001) - 2000
+                wav = encode_wav(rate, channels, samples)
+                if d % 3 == 0:
+                    # splice a metadata chunk between "WAVE" and "fmt " —
+                    # ODD declared size + trailing pad byte, so a decoder
+                    # that assumes the fixed 44-byte layout OR forgets
+                    # word-alignment padding fails the oracle
+                    info = b"INFOICMT" + (7).to_bytes(4, "little") + b"fixture"
+                    lst = b"LIST" + len(info).to_bytes(4, "little") + info + b"\x00"
+                    body = wav[12:]
+                    wav = (
+                        b"RIFF"
+                        + (4 + len(lst) + len(body)).to_bytes(4, "little")
+                        + b"WAVE"
+                        + lst
+                        + body
+                    )
+                payloads.append(wav)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)

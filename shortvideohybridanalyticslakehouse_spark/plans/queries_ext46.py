@@ -1,0 +1,118 @@
+"""Extension queries, round 46: the audio modality — real RIFF/WAVE
+16-bit PCM decode as a first-class multimodal lane (the WAV twin of the
+round-4 raster codec, closing the last environment-permitted modality
+gap named by the round-4 verdict).
+
+Verification strategy (same as the raster lane): fixture payloads are
+REAL WAV containers whose format fields and every PCM sample are
+closed-form functions of doc_id, so a DuckDB oracle replays the SAME
+arithmetic the decoder must recover from the bytes — a wrong chunk walk,
+a missed pad byte, a byte-order slip, or a bad deinterleave all shift
+the amplitude sums and fail the hash. Every third fixture carries a
+LIST/INFO metadata chunk with an ODD declared size before fmt/data, so a
+decoder that assumes the fixed 44-byte layout (or forgets word-alignment
+padding) cannot pass.
+
+Cross-engine float determinism: all amplitude accumulation is int64
+(exact); the one floating step is rms_micro = floor(sqrt(sum_sq / n) *
+1e6) — exact integer operands through correctly-rounded IEEE ops, then
+floor, so there are no round-half semantics to disagree on.
+
+Reference parity: the reference engine has no media columns at all
+(SURVEY.md §2 multimodal gap) — this extends the beyond-reference
+LLM-data-pipeline surface (brief: "treat image/audio/video as opaque
+binary columns ... decode / feature-extract as Pandas UDFs over
+mapInPandas").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.functions import multimodal
+from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+_AUDIO_BASE = """
+WITH base AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS channels,
+         8000 + (doc_id % 3) * 4000 AS sample_rate,
+         400 + doc_id % 241 AS n_frames
+  FROM documents
+), idx AS (
+  SELECT doc_id, channels, sample_rate, n_frames,
+         unnest(range(n_frames * channels)) AS i
+  FROM base
+), v AS (
+  SELECT doc_id, channels, sample_rate, n_frames,
+         ((doc_id * 37 + i * 13) % 4001) - 2000 AS smp
+  FROM idx
+), stats AS (
+  SELECT doc_id,
+         CAST(channels AS INT) AS channels,
+         CAST(sample_rate AS INT) AS sample_rate,
+         CAST(n_frames AS BIGINT) AS n_frames,
+         CAST((n_frames * 1000) // sample_rate AS BIGINT) AS duration_ms,
+         CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+         CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+         CAST(floor(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)) * 1000000)
+              AS BIGINT) AS rms_micro
+  FROM v
+  GROUP BY doc_id, channels, sample_rate, n_frames
+)
+"""
+
+_AUDIO_DECODE_ORACLE = _AUDIO_BASE + "SELECT * FROM stats"
+
+
+@register("multimodal_audio_decode", _AUDIO_DECODE_ORACLE)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode deterministic RIFF/WAVE payloads per doc_id, then REALLY
+    decode them (chunk walk past a spliced odd-size LIST chunk, PCM
+    deinterleave) and emit the typed audio metadata + integer-exact
+    amplitude features. The oracle computes the same features
+    analytically from the closed-form sample function — the container
+    layer must round-trip exactly for the hashes to match."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthetic_wav_payloads(docs, "doc_id")
+    return multimodal.wav_decode_stats(payloads, "doc_id")
+
+
+_AUDIO_PROFILE_ORACLE = _AUDIO_BASE + """
+SELECT CAST(channels AS INT) AS channels,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(max(peak_abs) AS BIGINT) AS max_peak_abs,
+       CAST(sum(sum_abs) AS BIGINT) AS total_abs_amplitude
+FROM stats
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("multimodal_audio_profile", _AUDIO_PROFILE_ORACLE)
+def q_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level audio inventory: decoded per-clip features flowing
+    straight into an ordinary relational rollup by (channels,
+    sample_rate) — the grouping a training-data pipeline uses to route
+    clips to per-format preprocessing. Proves the decoded lane composes
+    with JVM-side aggregation (the mapInPandas black box ends at the
+    stats frame; everything after is codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthetic_wav_payloads(docs, "doc_id")
+    stats = multimodal.wav_decode_stats(payloads, "doc_id")
+    return (
+        stats.groupBy("channels", "sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.max("peak_abs").alias("max_peak_abs"),
+            F.sum("sum_abs").alias("total_abs_amplitude"),
+        )
+        .orderBy("channels", "sample_rate")
+    )

@@ -87,6 +87,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext43,
         queries_ext44,
         queries_ext45,
+        queries_ext46,
     )
 
     return REGISTRY

@@ -156,3 +156,136 @@ def test_ppm_header_with_comments():
     payload = b"P6\n# a comment line\n4 2\n# another\n255\n" + rgb
     fmt, w, h, px = multimodal.decode_raster(payload)
     assert (fmt, w, h) == ("ppm", 4, 2) and px.tobytes() == rgb
+
+
+# ---------------------------------------------------------------------------
+# Audio lane: RIFF/WAVE 16-bit PCM
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip_planted_square_wave():
+    """Planted waveform with analytically known features: a +/-1000 square
+    wave at 8 kHz mono. Every stat is hand-computable: peak 1000, mean
+    |s| 1000, rms exactly 1000 => rms_micro exactly 1e9."""
+    import numpy as np
+
+    samples = np.tile([1000, -1000], 400).astype(np.int16)
+    wav = multimodal.encode_wav(8000, 1, samples)
+    rate, ch, frames = multimodal.decode_wav(wav)
+    assert (rate, ch) == (8000, 1)
+    assert frames.shape == (800, 1)
+    assert np.array_equal(frames.ravel(), samples)
+    s = multimodal.wav_stats(rate, ch, frames)
+    assert s == {
+        "channels": 1,
+        "sample_rate": 8000,
+        "n_frames": 800,
+        "duration_ms": 100,
+        "peak_abs": 1000,
+        "sum_abs": 800 * 1000,
+        "rms_micro": 1000 * 1_000_000,
+    }
+
+
+def test_wav_round_trip_property():
+    """Property: decode(encode(rate, ch, samples)) restores every sample
+    bit-exactly for arbitrary rates, channel counts, and int16 values
+    (including the -32768 edge and odd total-byte-length payloads)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(min_value=1, max_value=4),
+        n=st.integers(min_value=1, max_value=500),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(rate, ch, n, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n * ch, dtype=np.int64).astype(
+            np.int16
+        )
+        rate2, ch2, frames = multimodal.decode_wav(
+            multimodal.encode_wav(rate, ch, samples)
+        )
+        assert (rate2, ch2) == (rate, ch)
+        assert frames.shape == (n, ch)
+        assert np.array_equal(frames.ravel(), samples)
+
+    check()
+
+
+def test_wav_chunk_walk_skips_metadata_and_pad():
+    """A LIST/INFO chunk with an ODD declared size spliced before fmt/data
+    must be skipped via the word-alignment pad — the layout the fixture
+    generator plants on every third id."""
+    import numpy as np
+
+    samples = np.arange(-5, 5, dtype=np.int16)
+    wav = multimodal.encode_wav(12000, 2, samples)
+    info = b"INFOICMT" + (7).to_bytes(4, "little") + b"fixture"
+    lst = b"LIST" + len(info).to_bytes(4, "little") + info + b"\x00"
+    body = wav[12:]
+    spliced = (
+        b"RIFF" + (4 + len(lst) + len(body)).to_bytes(4, "little") + b"WAVE"
+        + lst + body
+    )
+    rate, ch, frames = multimodal.decode_wav(spliced)
+    assert (rate, ch) == (12000, 2)
+    assert np.array_equal(frames.ravel(), samples)
+
+
+def test_wav_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    ok = multimodal.encode_wav(8000, 1, np.arange(4, dtype=np.int16))
+    for bad in [
+        b"",
+        b"RIFFxxxx",                     # too short / no WAVE form
+        b"RIFX" + ok[4:],                # wrong magic
+        ok[:4] + ok[4:8] + b"AVI " + ok[12:],  # wrong form type
+        ok[:-3],                         # truncated data chunk
+    ]:
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(bad)
+    # non-PCM format code rejected: patch audio_format=3 (IEEE float)
+    bad_fmt = bytearray(ok)
+    fmt_off = ok.index(b"fmt ") + 8
+    bad_fmt[fmt_off:fmt_off + 2] = (3).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(bytes(bad_fmt))
+
+
+def test_wav_decode_stats_spark(spark):
+    """End-to-end through mapInPandas: synthetic fixtures -> decode ->
+    stats equal a pure-Python replay of the closed form."""
+    import math
+
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    payloads = multimodal.synthetic_wav_payloads(df, "doc_id")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in multimodal.wav_decode_stats(payloads, "doc_id").collect()
+    }
+    assert len(got) == 24
+    for d in range(24):
+        ch = 1 + d % 2
+        rate = 8000 + (d % 3) * 4000
+        n_frames = 400 + d % 241
+        vals = [((d * 37 + i * 13) % 4001) - 2000 for i in range(n_frames * ch)]
+        sum_sq = sum(v * v for v in vals)
+        expect = {
+            "doc_id": d,
+            "channels": ch,
+            "sample_rate": rate,
+            "n_frames": n_frames,
+            "duration_ms": (n_frames * 1000) // rate,
+            "peak_abs": max(abs(v) for v in vals),
+            "sum_abs": sum(abs(v) for v in vals),
+            "rms_micro": math.floor(
+                math.sqrt(sum_sq / len(vals)) * 1_000_000
+            ),
+        }
+        assert got[d] == expect, f"doc {d}"
