@@ -1,0 +1,170 @@
+"""Incremental curation funnel: stream==batch equality on a closed set +
+per-stage attrition counters via observedMetrics.
+
+Fixture discipline: one file per document with PINNED ascending mtimes
+(FileStreamSource orders by modification time, not name) so stream
+arrival order == doc_id order and first-arrival exact-dedup coincides
+with the batch min-doc_id rule. A far-future sentinel document arrives
+last to push the watermark past every real window (append-mode
+aggregations hold verdicts until the watermark passes); the sentinel
+itself stays in state and is excluded from the comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.streaming import funnel
+
+
+def _tokens(idx: list[int]) -> str:
+    """Quality-passing token stream: distinct 4/5-char tokens (mean word
+    length 4.5, TTR 1.0, top fraction 1/len)."""
+    toks = []
+    for i in idx:
+        toks.append(f"a{i:03d}")
+        toks.append(f"b{i:04d}")
+    return " ".join(toks)
+
+
+CORPUS_TEXT = _tokens(list(range(100, 112)))  # 24 tokens
+# near-dup of the corpus doc: last token changed
+NEAR_DUP_TEXT = CORPUS_TEXT.rsplit(" ", 1)[0] + " zzzzz"
+HOLDOUT_TEXT = _tokens(list(range(200, 212)))
+# contaminated: embeds an 8-token run from the holdout doc
+CONTAM_TEXT = (
+    _tokens(list(range(300, 304)))
+    + " "
+    + " ".join(HOLDOUT_TEXT.split(" ")[4:12])
+    + " "
+    + _tokens(list(range(310, 314)))
+)
+
+CLEAN_1 = _tokens(list(range(400, 412)))
+CLEAN_2 = _tokens(list(range(500, 512)))
+SENTINEL = _tokens(list(range(600, 612)))
+
+T0 = "2024-01-01 10:00:"
+DOCS = [
+    {"doc_id": 1, "lang": "en", "text": CLEAN_1, "ingest_ts": T0 + "01"},
+    {"doc_id": 2, "lang": "fr", "text": CLEAN_2, "ingest_ts": T0 + "02"},
+    {"doc_id": 3, "lang": "en", "text": "too short", "ingest_ts": T0 + "03"},
+    {"doc_id": 4, "lang": "en", "text": CLEAN_1, "ingest_ts": T0 + "04"},
+    {"doc_id": 5, "lang": "en", "text": NEAR_DUP_TEXT, "ingest_ts": T0 + "05"},
+    {"doc_id": 6, "lang": "en", "text": CONTAM_TEXT, "ingest_ts": T0 + "06"},
+    {"doc_id": 7, "lang": "en", "text": CLEAN_2, "ingest_ts": T0 + "07"},
+    {
+        "doc_id": 999,
+        "lang": "en",
+        "text": SENTINEL,
+        "ingest_ts": "2024-01-01 13:00:00",
+    },
+]
+
+SCHEMA = "doc_id long, lang string, text string, ingest_ts timestamp"
+
+
+def _batch_docs(spark):
+    raw = spark.createDataFrame(
+        [tuple(d.values()) for d in DOCS],
+        "doc_id long, lang string, text string, ingest_ts string",
+    )
+    return raw.withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+
+
+def _statics(spark):
+    corpus = spark.createDataFrame(
+        [(900, CORPUS_TEXT)], "doc_id long, text string"
+    )
+    holdout = spark.createDataFrame(
+        [(950, HOLDOUT_TEXT)], "doc_id long, text string"
+    )
+    return funnel.build_curation_probe_table(corpus, holdout)
+
+
+def _write_stream_fixture(src: str) -> None:
+    os.makedirs(src)
+    for n, row in enumerate(DOCS):
+        path = os.path.join(src, f"d{n:02d}.json")
+        with open(path, "w") as f:
+            f.write(json.dumps(row))
+        mtime = 1_700_000_000 + 10 * n  # strictly increasing
+        os.utime(path, (mtime, mtime))
+
+
+def test_probe_table_schema(spark):
+    pt = _statics(spark)
+    assert pt.columns == ["ptype", "pkey", "corpus_id", "sig_corpus", "_probe_hit"]
+    kinds = {r["ptype"] for r in pt.select("ptype").distinct().collect()}
+    assert kinds == {"band", "gram"}
+    # _probe_hit is never null on the static side (the left-join marker)
+    assert pt.filter(F.col("_probe_hit").isNull()).count() == 0
+
+
+def test_batch_funnel_verdicts(spark):
+    pt = _statics(spark)
+    out = funnel.ingest_curation_plan(_batch_docs(spark), pt)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # survivors: clean docs + sentinel (batch has no watermark holdback);
+    # 2 language, 3 quality, 4 exact-dup, 5 near-dup, 6 contaminated drop
+    assert set(got) == {1, 7, 999}
+    assert all(r["corpus_agreement"] < 0.5 for r in got.values())
+
+
+def test_stream_matches_batch_and_counts_attrition(spark, tmp_path):
+    pt = _statics(spark)
+    src = os.path.join(str(tmp_path), "in")
+    _write_stream_fixture(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 3)
+        .json(src)
+    )
+    out = funnel.ingest_curation_plan(stream, pt)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curation_funnel")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_rows = {
+        r["doc_id"]: r for r in spark.sql("select * from curation_funnel").collect()
+    }
+
+    # stream survivors == batch survivors minus the sentinel (held back by
+    # the watermark, by design)
+    batch_rows = {
+        r["doc_id"]: r
+        for r in funnel.ingest_curation_plan(_batch_docs(spark), pt).collect()
+        if r["doc_id"] != 999
+    }
+    assert set(stream_rows) == set(batch_rows) == {1, 7}
+    for d, br in batch_rows.items():
+        sr = stream_rows[d]
+        assert (sr["fp"], sr["n_tok"], sr["corpus_agreement"]) == (
+            br["fp"],
+            br["n_tok"],
+            br["corpus_agreement"],
+        )
+
+    # attrition counters, summed across micro-batches
+    totals: dict[str, int] = {}
+    for p in q.recentProgress:
+        for name, metrics in (p["observedMetrics"] or {}).items():
+            for k, v in metrics.asDict().items():
+                totals[f"{name}.{k}"] = totals.get(f"{name}.{k}", 0) + int(v)
+    assert totals["funnel_raw.n_docs"] == 8
+    assert totals["funnel_language.n_docs"] == 7
+    assert totals["funnel_quality.n_docs"] == 6
+    assert totals["funnel_exact.n_docs"] == 5
+    assert totals["funnel_decision.docs_decided"] == 4  # sentinel held
+    assert totals["funnel_decision.near_dup_dropped"] == 1
+    assert totals["funnel_decision.contaminated_dropped"] == 1
+    assert totals["funnel_decision.survivors"] == 2
