@@ -88,6 +88,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext44,
         queries_ext45,
         queries_ext46,
+        queries_ext47,
     )
 
     return REGISTRY
