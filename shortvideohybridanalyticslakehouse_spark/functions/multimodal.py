@@ -616,3 +616,301 @@ def synthetic_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Video lane: RIFF/AVI with uncompressed DIB frames — real container+frame
+# parsing, no codec libs (AVI is RIFF, so the chunk discipline matches WAV)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(
+    width: int, height: int, fps: int, frames_rgb: list[bytes]
+) -> bytes:
+    """Minimal-but-REAL uncompressed AVI: RIFF 'AVI ' form holding a
+    LIST/hdrl (avih + one 'vids'/'DIB ' stream with its BITMAPINFOHEADER)
+    and a LIST/movi of one '00db' chunk per frame. Frames are supplied as
+    top-down row-major RGB and stored the way DIB frames really are:
+    BOTTOM-UP rows, BGR byte order, rows padded to 4-byte boundaries —
+    the same pixel layout as a 24-bit BMP body, without per-frame file
+    headers.
+    """
+    import numpy as np
+
+    def _le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+
+    def dib(rgb: bytes) -> bytes:
+        if len(rgb) != 3 * width * height:
+            raise ValueError("rgb length != 3*w*h")
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+        bgr = px[::-1, :, ::-1]
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, :row_bytes] = bgr.reshape(height, row_bytes)
+        return padded.tobytes()
+
+    us_per_frame = 1_000_000 // fps
+    n = len(frames_rgb)
+    frame_size = stride * height
+
+    avih = b"avih" + _le(56, 4) + (
+        _le(us_per_frame, 4)
+        + _le(frame_size * fps, 4)  # max bytes/sec
+        + _le(0, 4)  # padding granularity
+        + _le(0, 4)  # flags
+        + _le(n, 4)  # total frames
+        + _le(0, 4)  # initial frames
+        + _le(1, 4)  # streams
+        + _le(frame_size, 4)  # suggested buffer
+        + _le(width, 4)
+        + _le(height, 4)
+        + b"\x00" * 16  # reserved
+    )
+    strh = b"strh" + _le(56, 4) + (
+        b"vids"
+        + b"DIB "
+        + _le(0, 4)  # flags
+        + _le(0, 2)  # priority
+        + _le(0, 2)  # language
+        + _le(0, 4)  # initial frames
+        + _le(1, 4)  # scale
+        + _le(fps, 4)  # rate (fps = rate/scale)
+        + _le(0, 4)  # start
+        + _le(n, 4)  # length (frames)
+        + _le(frame_size, 4)
+        + _le(0xFFFFFFFF, 4)  # quality (-1)
+        + _le(0, 4)  # sample size
+        + _le(0, 2) * 2  # rcFrame left/top
+        + _le(width, 2)
+        + _le(height, 2)
+    )
+    # BITMAPINFOHEADER for the stream format (same 40-byte layout as BMP)
+    strf = b"strf" + _le(40, 4) + (
+        _le(40, 4)
+        + _le(width, 4)
+        + _le(height, 4)  # positive => bottom-up DIB frames
+        + _le(1, 2)
+        + _le(24, 2)
+        + _le(0, 4)  # BI_RGB
+        + _le(frame_size, 4)
+        + _le(2835, 4) * 2
+        + _le(0, 4) * 2
+    )
+    strl_body = b"strl" + strh + strf
+    strl = b"LIST" + _le(len(strl_body), 4) + strl_body
+    hdrl_body = b"hdrl" + avih + strl
+    hdrl = b"LIST" + _le(len(hdrl_body), 4) + hdrl_body
+
+    movi_body = b"movi"
+    for rgb in frames_rgb:
+        body = dib(rgb)
+        movi_body += b"00db" + _le(len(body), 4) + body
+        if len(body) % 2:
+            movi_body += b"\x00"
+    movi = b"LIST" + _le(len(movi_body), 4) + movi_body
+
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + _le(len(riff_body), 4) + riff_body
+
+
+def decode_avi(payload: bytes):
+    """Parse a RIFF/AVI payload into (width, height, us_per_frame, frames)
+    where ``frames`` is an (n, h, w, 3) uint8 ndarray of top-down RGB.
+
+    Real container parsing: walks the top-level RIFF chunks to find
+    LIST/hdrl (dims + frame timing from avih) and LIST/movi, then walks
+    the movi sub-chunks collecting '00db'/'00dc' DIB frames (bottom-up
+    BGR rows with 4-byte stride padding — undone exactly like the BMP
+    path). Raises ValueError on non-AVI payloads, missing headers, or
+    frames that are not uncompressed 24-bit DIBs of the declared size.
+    """
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            cid = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if i + 8 + size > hi:
+                raise ValueError("truncated AVI chunk")
+            yield cid, i + 8, size
+            i += 8 + size + (size % 2)
+
+    end = min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+    width = height = us_per_frame = None
+    frames: list[bytes] = []
+    for cid, off, size in walk(12, end):
+        if cid != b"LIST":
+            continue
+        kind = payload[off : off + 4]
+        if kind == b"hdrl":
+            for sid, soff, ssize in walk(off + 4, off + size):
+                if sid == b"avih":
+                    if ssize < 40:
+                        raise ValueError("truncated avih")
+                    us_per_frame = int.from_bytes(
+                        payload[soff : soff + 4], "little"
+                    )
+                    width = int.from_bytes(
+                        payload[soff + 32 : soff + 36], "little"
+                    )
+                    height = int.from_bytes(
+                        payload[soff + 36 : soff + 40], "little"
+                    )
+        elif kind == b"movi":
+            for sid, soff, ssize in walk(off + 4, off + size):
+                if sid in (b"00db", b"00dc"):
+                    frames.append(payload[soff : soff + ssize])
+    if width is None or us_per_frame is None or not frames:
+        raise ValueError("AVI missing hdrl/movi content")
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
+    for f, body in enumerate(frames):
+        if len(body) != stride * height:
+            raise ValueError("frame is not an uncompressed 24-bit DIB")
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(height, stride)[
+            :, :row_bytes
+        ]
+        out[f] = rows.reshape(height, width, 3)[::-1, :, ::-1]
+    return width, height, us_per_frame, out
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", IntegerType()),
+        StructField("frame_offset_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def avi_frame_sample(
+    df: DataFrame, every: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL frame sampling over mapInPandas: decode each AVI payload, keep
+    every ``every``-th frame (0, every, 2*every, ...), and emit one row
+    per sampled frame with its exact offset (frame_id * us_per_frame //
+    1000) and integer-exact mean luma — the explode-shaped grain video
+    preprocessing pipelines feed to captioning/embedding stages."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [],
+                "frame_id": [],
+                "frame_offset_ms": [],
+                "width": [],
+                "height": [],
+                "mean_luma": [],
+            }
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                w, h, uspf, frames = decode_avi(bytes(p))
+                for f in range(0, frames.shape[0], every):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_id"].append(f)
+                    rows["frame_offset_ms"].append((f * uspf) // 1000)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_luma"].append(mean_luma(frames[f]))
+            out = pd.DataFrame(rows)
+            out["frame_id"] = out["frame_id"].astype("int32")
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+def synthetic_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic video fixture generator (the AVI member of the
+    raster/WAV family): per id, a clip whose geometry, frame rate, frame
+    count and every pixel byte are closed-form functions of the id —
+
+        width    = 6 + id % 5        height = 4 + id % 4
+        fps      = 10 + id % 3       n_frames = 2 + id % 3
+        frame f, top-down RGB byte i = (id*31 + f*97 + i) % 256
+
+    encoded as a REAL uncompressed AVI. The closed form lets a SQL oracle
+    verify the SAMPLED, DECODED frames analytically."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            ids = pdf[id_col].astype("int64")
+            for d in ids:
+                d = int(d)
+                w, h = 6 + d % 5, 4 + d % 4
+                fps = 10 + d % 3
+                n_frames = 2 + d % 3
+                frames = [
+                    (
+                        (d * 31 + f * 97 + np.arange(3 * w * h, dtype=np.int64))
+                        % 256
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_avi(w, h, fps, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+def wav_autocorr_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-clip lag-1 (per-channel, i.e. lag = ``channels`` in the
+    interleaved stream) autocorrelation over decoded PCM — the cheap
+    periodicity/smoothness diagnostic audio curation uses to separate
+    tonal content from noise. Integer-exact: ac = sum(s[i] * s[i+ch]) and
+    sum_sq accumulate in int64; the normalized ratio is
+    floor(ac / sum_sq * 1e6) (exact operands through correctly-rounded
+    IEEE divide/multiply, then floor — negative values floor toward
+    -inf identically in numpy/Python/DuckDB)."""
+    import math
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ac_lag1", LongType()),
+            StructField("sum_sq", LongType()),
+            StructField("ac_ratio_micro", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "ac_lag1": [], "sum_sq": [], "ac_ratio_micro": []}
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                rate, ch, frames = decode_wav(bytes(p))
+                s = frames.astype(np.int64).ravel()
+                ac = int((s[:-ch] * s[ch:]).sum()) if s.size > ch else 0
+                sum_sq = int((s * s).sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["ac_lag1"].append(ac)
+                rows["sum_sq"].append(sum_sq)
+                rows["ac_ratio_micro"].append(
+                    int(math.floor(ac / sum_sq * 1_000_000)) if sum_sq else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema)

@@ -116,3 +116,97 @@ def q_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channels", "sample_rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video lane: real uncompressed AVI decode + frame sampling
+# ---------------------------------------------------------------------------
+
+_VIDEO_SAMPLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         6 + doc_id % 5 AS w,
+         4 + doc_id % 4 AS h,
+         10 + doc_id % 3 AS fps,
+         2 + doc_id % 3 AS n_frames
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, fps, unnest(range(n_frames)) AS f
+  FROM base
+), sampled AS (
+  SELECT * FROM fr WHERE f % 2 = 0
+), px AS (
+  SELECT doc_id, w, h, fps, f, unnest(range(w * h)) AS i
+  FROM sampled
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_id,
+       CAST((f * (1000000 // fps)) // 1000 AS BIGINT) AS frame_offset_ms,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       round(SUM(
+           299 * ((doc_id * 31 + f * 97 + 3 * i) % 256)
+         + 587 * ((doc_id * 31 + f * 97 + 3 * i + 1) % 256)
+         + 114 * ((doc_id * 31 + f * 97 + 3 * i + 2) % 256)
+       ) / (1000.0 * w * h), 6) AS mean_luma
+FROM px
+GROUP BY doc_id, f, fps, w, h
+"""
+
+
+@register("multimodal_video_framesample", _VIDEO_SAMPLE_ORACLE)
+def q_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode deterministic uncompressed AVI clips per doc_id (RIFF 'AVI '
+    form, LIST/hdrl with avih+strh+strf, LIST/movi of raw DIB frames),
+    then REALLY decode them — walk the RIFF tree, recover dims + frame
+    timing from avih, undo each frame's bottom-up/BGR/stride layout — and
+    emit every 2nd frame with its exact offset and integer-exact mean
+    luma. The oracle replays the closed-form pixel function per sampled
+    frame; a wrong stride, frame order, or sampling phase shifts the luma
+    sums and fails the hash. Completes the REAL-decode multimodal triad:
+    raster (BMP/PPM), audio (WAV/PCM), video (AVI/DIB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthetic_avi_payloads(docs, "doc_id")
+    return multimodal.avi_frame_sample(payloads, every=2, id_col="doc_id")
+
+
+_AUDIO_AUTOCORR_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS channels,
+         8000 + (doc_id % 3) * 4000 AS sample_rate,
+         400 + doc_id % 241 AS n_frames
+  FROM documents
+), idx AS (
+  SELECT doc_id, channels, unnest(range(n_frames * channels)) AS i
+  FROM base
+), v AS (
+  SELECT doc_id, channels, i,
+         ((doc_id * 37 + i * 13) % 4001) - 2000 AS smp
+  FROM idx
+), ac AS (
+  SELECT a.doc_id,
+         CAST(sum(a.smp * b.smp) AS BIGINT) AS ac_lag1
+  FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.i = a.i + a.channels
+  GROUP BY 1
+), sq AS (
+  SELECT doc_id, CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+  FROM v GROUP BY 1
+)
+SELECT s.doc_id, a.ac_lag1, s.sum_sq,
+       CAST(floor(CAST(a.ac_lag1 AS DOUBLE) / CAST(s.sum_sq AS DOUBLE)
+                  * 1000000) AS BIGINT) AS ac_ratio_micro
+FROM sq s JOIN ac a ON a.doc_id = s.doc_id
+"""
+
+
+@register("multimodal_audio_autocorr", _AUDIO_AUTOCORR_ORACLE)
+def q_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel lag-1 autocorrelation over REALLY decoded PCM (lag =
+    channel count in the interleaved stream), the periodicity/smoothness
+    diagnostic audio curation pipelines use. Integer-exact sums; the one
+    floating step (floor(ac/sum_sq * 1e6)) is bit-reproducible by the
+    oracle's identical IEEE arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthetic_wav_payloads(docs, "doc_id")
+    return multimodal.wav_autocorr_stats(payloads, "doc_id")

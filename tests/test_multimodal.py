@@ -289,3 +289,91 @@ def test_wav_decode_stats_spark(spark):
             ),
         }
         assert got[d] == expect, f"doc {d}"
+
+
+# ---------------------------------------------------------------------------
+# Video lane: RIFF/AVI uncompressed DIB frames
+# ---------------------------------------------------------------------------
+
+
+def test_avi_round_trip_planted_frames():
+    """Planted clip: decode(encode(...)) restores geometry, timing, and
+    every pixel of every frame bit-exactly (stride padding exercised by
+    the odd width)."""
+    import numpy as np
+
+    w, h, fps = 5, 3, 25  # w=5 -> row_bytes 15 -> stride pad 1
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=3 * w * h, dtype=np.int64)
+        .astype(np.uint8)
+        .tobytes()
+        for _ in range(4)
+    ]
+    w2, h2, uspf, decoded = multimodal.decode_avi(
+        multimodal.encode_avi(w, h, fps, frames)
+    )
+    assert (w2, h2, uspf) == (w, h, 1_000_000 // fps)
+    assert decoded.shape == (4, h, w, 3)
+    for f, rgb in enumerate(frames):
+        assert decoded[f].tobytes() == rgb
+
+
+def test_avi_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    frames = [(np.arange(36) % 256).astype(np.uint8).tobytes()]
+    ok = multimodal.encode_avi(4, 3, 10, frames)
+    for bad in [b"", b"RIFF\x04\x00\x00\x00WAVE", ok[:40]]:
+        with pytest.raises(ValueError):
+            multimodal.decode_avi(bad)
+
+
+def test_avi_frame_sample_spark(spark):
+    """End-to-end: synthetic AVI fixtures -> decode -> every-2nd-frame
+    rows equal a pure-Python replay of the closed form."""
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    payloads = multimodal.synthetic_avi_payloads(df, "doc_id")
+    got = {
+        (r["doc_id"], r["frame_id"]): r.asDict()
+        for r in multimodal.avi_frame_sample(payloads, every=2).collect()
+    }
+    n_expected = 0
+    for d in range(12):
+        w, h = 6 + d % 5, 4 + d % 4
+        fps = 10 + d % 3
+        n_frames = 2 + d % 3
+        for f in range(0, n_frames, 2):
+            n_expected += 1
+            row = got[(d, f)]
+            tot = sum(
+                299 * ((d * 31 + f * 97 + 3 * i) % 256)
+                + 587 * ((d * 31 + f * 97 + 3 * i + 1) % 256)
+                + 114 * ((d * 31 + f * 97 + 3 * i + 2) % 256)
+                for i in range(w * h)
+            )
+            assert row["width"] == w and row["height"] == h
+            assert row["frame_offset_ms"] == (f * (1_000_000 // fps)) // 1000
+            assert row["mean_luma"] == round(tot / (1000.0 * w * h), 6)
+    assert len(got) == n_expected
+
+
+def test_wav_autocorr_constant_signal():
+    """Constant signal: ac_lag1 == sum over the (n-ch) overlapped products
+    == (n-ch)*c^2, sum_sq == n*c^2 — ratio is exactly (n-ch)/n."""
+    import math
+
+    import numpy as np
+
+    c, n = 700, 50
+    samples = np.full(n, c, dtype=np.int16)
+    wav = multimodal.encode_wav(8000, 1, samples)
+    rate, ch, frames = multimodal.decode_wav(wav)
+    s = frames.astype(np.int64).ravel()
+    ac = int((s[:-1] * s[1:]).sum())
+    assert ac == (n - 1) * c * c
+    assert int((s * s).sum()) == n * c * c
+    assert math.floor(ac / (n * c * c) * 1_000_000) == math.floor(
+        (n - 1) / n * 1_000_000
+    )
