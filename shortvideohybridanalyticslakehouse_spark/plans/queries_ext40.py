@@ -31,10 +31,7 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext9 import (
     QF_MIN_TOKENS,
     QF_MIN_TTR,
 )
-from shortvideohybridanalyticslakehouse_spark.plans.registry import (
-    finalize_bounded,
-    register,
-)
+from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _FUNNEL_ORACLE = rf"""
@@ -170,12 +167,17 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = s1.join(qdoc.filter(pass_all).select("doc_id"), "doc_id", "left_semi")
 
+    # Deliberately LAZY (round-5 measurement): persisting this hub frame
+    # serializes the pipeline into materialize-then-read and costs ~9 s vs
+    # ~5.3 s for the fully pipelined multi-branch job, where Catalyst's
+    # exchange reuse already shares the expensive subtrees across the six
+    # stage aggregates — and a lazy plan leaks no cache blocks.
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id").asc())
     s3 = (
         s2.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    ).persist()
+    )
 
     with_sig = dedupfns.minhash_signatures_df(
         s3, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
@@ -211,7 +213,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"),
         ).select("stage_no", "stage", "n_docs", "n_tokens")
 
-    report = (
+    return (
         stage(base, 0, "raw")
         .unionByName(stage(s1, 1, "language"))
         .unionByName(stage(s2, 2, "quality"))
@@ -220,6 +222,3 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s5, 5, "decontaminated"))
         .orderBy("stage_no")
     )
-    # Six-row funnel report: materialize it, then release the persisted
-    # exact-dedup hub frame so the cache doesn't outlive the query.
-    return finalize_bounded(report, s3)
