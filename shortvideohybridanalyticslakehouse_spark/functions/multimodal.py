@@ -15,14 +15,21 @@ Storage model (the 100 TB design):
   repartition by a bucketed id) so a batch of decoded frames fits executor
   memory.
 
-Codecs: a REAL dependency-free raster codec (24-bit BI_RGB BMP and binary
-P6 PPM, numpy header+pixel parsing — `decode_raster` / `encode_bmp` /
-`encode_ppm`) handles raster payloads end-to-end, including mean-luma
-feature extraction verified against an analytic DuckDB oracle
-(`multimodal_raster_decode`). Compressed formats (JPEG/PNG/audio/video)
-remain out of scope in this container; `_decode_image` detects raster
-magic bytes and otherwise falls back to a deterministic byte-level fake so
-non-raster payloads still exercise the full plumbing with stable outputs.
+Codecs — the REAL-decode triad, all dependency-free numpy parsing:
+- raster: 24-bit BI_RGB BMP and binary P6 PPM (`decode_raster` /
+  `encode_bmp` / `encode_ppm`), mean-luma features verified against an
+  analytic DuckDB oracle (`multimodal_raster_decode`);
+- audio: RIFF/WAVE 16-bit PCM with a full subchunk walk (`decode_wav` /
+  `encode_wav`), integer-exact amplitude + autocorrelation features
+  (`multimodal_audio_decode` / `_profile` / `_autocorr`);
+- video: uncompressed AVI with raw DIB frames (`decode_avi` /
+  `encode_avi`), every-Nth frame sampling with exact offsets + per-frame
+  luma (`multimodal_video_framesample`).
+
+COMPRESSED formats (JPEG/PNG/MP3/H.264) remain environment-bounded (no
+codec libraries installable here); `_decode_image` detects raster magic
+bytes and otherwise falls back to a deterministic byte-level fake so
+compressed payloads still exercise the full plumbing with stable outputs.
 """
 
 from __future__ import annotations
@@ -914,3 +921,65 @@ def wav_autocorr_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(batches, schema)
+
+
+def resize_raster(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL raster resize over mapInPandas: decode each BMP/PPM payload,
+    nearest-neighbor resample to (target_width, target_height) — source
+    index = (dst_index * src_dim) // dst_dim, the standard floor mapping —
+    and RE-ENCODE in the payload's original format. Binary-in ->
+    binary-out with the typed metadata updated, i.e. the contract the
+    hash-fake `resize` stub documents, now executed for real on the
+    raster lane (compressed formats still route through the stub).
+    The floor mapping is closed-form, so a SQL oracle can verify features
+    of the RESIZED image analytically (`multimodal_raster_resize`).
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media", MEDIA_META_STRUCT),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        xs = None
+        for pdf in it:
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                fmt, w, h, rgb = decode_raster(bytes(p))
+                sx = (np.arange(target_width, dtype=np.int64) * w) // target_width
+                sy = (np.arange(target_height, dtype=np.int64) * h) // target_height
+                out = rgb[sy][:, sx]  # (th, tw, 3) nearest-neighbor
+                body = out.tobytes()
+                enc = (
+                    encode_bmp(target_width, target_height, body)
+                    if fmt == "bmp"
+                    else encode_ppm(target_width, target_height, body)
+                )
+                payloads.append(enc)
+                metas.append(
+                    {
+                        "media_type": f"image/{fmt}",
+                        "width": target_width,
+                        "height": target_height,
+                        "duration_ms": None,
+                        "sample_rate": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "media": metas,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, out_schema)

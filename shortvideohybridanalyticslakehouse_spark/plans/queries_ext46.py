@@ -210,3 +210,46 @@ def q_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.synthetic_wav_payloads(docs, "doc_id")
     return multimodal.wav_autocorr_stats(payloads, "doc_id")
+
+
+_RASTER_RESIZE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, 8 + doc_id % 9 AS ws, 6 + doc_id % 7 AS hs
+  FROM documents
+), px AS (
+  SELECT doc_id, ws, hs, unnest(range(16 * 12)) AS d FROM base
+), m AS (
+  SELECT doc_id, ws,
+         ((d // 16) * hs) // 12 AS sy,
+         ((d % 16) * ws) // 16 AS sx
+  FROM px
+), lum AS (
+  SELECT doc_id,
+    299 * ((doc_id * 31 + 3 * (sy * ws + sx)) % 256)
+  + 587 * ((doc_id * 31 + 3 * (sy * ws + sx) + 1) % 256)
+  + 114 * ((doc_id * 31 + 3 * (sy * ws + sx) + 2) % 256) AS l
+  FROM m
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+  CAST(16 AS INT) AS width,
+  CAST(12 AS INT) AS height,
+  ROUND(SUM(l) / (1000.0 * 16 * 12), 6) AS mean_luma
+FROM lum GROUP BY doc_id
+"""
+
+
+@register("multimodal_raster_resize", _RASTER_RESIZE_ORACLE)
+def q_raster_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize on the raster lane: decode each BMP/PPM fixture,
+    nearest-neighbor resample to 16x12 (src = (dst * src_dim) //
+    dst_dim), re-encode in the ORIGINAL format, then decode the resized
+    payload again and extract its mean luma. The oracle replays the floor
+    index mapping over the closed-form source pixels — the whole
+    decode -> resample -> re-encode -> decode chain must be exact for the
+    hashes to match. Upgrades the resize stub's contract to a real kernel
+    for raster payloads (compressed formats keep the documented stub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthetic_raster_payloads(docs, "doc_id")
+    resized = multimodal.resize_raster(payloads, 16, 12, "doc_id")
+    return multimodal.raster_decode_stats(resized, "doc_id")

@@ -377,3 +377,38 @@ def test_wav_autocorr_constant_signal():
     assert math.floor(ac / (n * c * c) * 1_000_000) == math.floor(
         (n - 1) / n * 1_000_000
     )
+
+
+def test_resize_raster_round_trip_exact():
+    """Resize to the SAME dims must be the identity (floor mapping hits
+    every source index exactly once when dims match), and format is
+    preserved per payload."""
+    import numpy as np
+
+    rgb = (np.arange(3 * 8 * 6) % 256).astype(np.uint8).tobytes()
+    for enc, fmt in ((multimodal.encode_bmp, "bmp"), (multimodal.encode_ppm, "ppm")):
+        payload = enc(8, 6, rgb)
+        _, w, h, src = multimodal.decode_raster(payload)
+        sx = (np.arange(8, dtype=np.int64) * w) // 8
+        sy = (np.arange(6, dtype=np.int64) * h) // 6
+        assert src[sy][:, sx].tobytes() == rgb
+
+
+def test_resize_raster_spark_known_mapping(spark):
+    """2x upscale of a 2x2 image: every destination pixel must equal the
+    floor-mapped source pixel."""
+    import numpy as np
+
+    src = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    payload = multimodal.encode_ppm(2, 2, src.tobytes())
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = multimodal.resize_raster(df, 4, 4, "doc_id").collect()[0]
+    fmt, w, h, px = multimodal.decode_raster(bytes(out["payload"]))
+    assert (fmt, w, h) == ("ppm", 4, 4)
+    for y in range(4):
+        for x in range(4):
+            assert (px[y, x] == src[(y * 2) // 4, (x * 2) // 4]).all()
+    assert out["media"]["width"] == 4 and out["media"]["media_type"] == "image/ppm"
