@@ -412,3 +412,48 @@ def test_resize_raster_spark_known_mapping(spark):
         for x in range(4):
             assert (px[y, x] == src[(y * 2) // 4, (x * 2) // 4]).all()
     assert out["media"]["width"] == 4 and out["media"]["media_type"] == "image/ppm"
+
+
+def test_codec_fuzz_never_crashes():
+    """All three decoders must either decode or raise ValueError on
+    arbitrary byte strings AND on truncations/corruptions of valid
+    payloads — no hangs, no foreign exceptions. (IndexError is tolerated
+    only for raster, whose documented fallback contract catches it.)"""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    rgb = (np.arange(3 * 6 * 4) % 256).astype(np.uint8).tobytes()
+    valid = [
+        multimodal.encode_bmp(6, 4, rgb),
+        multimodal.encode_ppm(6, 4, rgb),
+        multimodal.encode_wav(8000, 2, np.arange(-8, 8, dtype=np.int16)),
+        multimodal.encode_avi(4, 3, 10, [(np.arange(36) % 256).astype(np.uint8).tobytes()]),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        base=st.integers(min_value=0, max_value=len(valid)),  # len(valid) => pure random
+        cut=st.integers(min_value=0, max_value=200),
+        flip_pos=st.integers(min_value=0, max_value=10_000),
+        flip_val=st.integers(min_value=0, max_value=255),
+        raw=st.binary(max_size=120),
+    )
+    def check(base, cut, flip_pos, flip_val, raw):
+        if base < len(valid):
+            b = bytearray(valid[base])
+            if flip_pos < len(b):
+                b[flip_pos] = flip_val
+            payload = bytes(b[: max(0, len(b) - cut)])
+        else:
+            payload = raw
+        for decoder, extra in (
+            (multimodal.decode_raster, (IndexError,)),
+            (multimodal.decode_wav, ()),
+            (multimodal.decode_avi, ()),
+        ):
+            try:
+                decoder(payload)
+            except (ValueError, *extra):
+                pass
+
+    check()
