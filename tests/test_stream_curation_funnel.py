@@ -168,3 +168,105 @@ def test_stream_matches_batch_and_counts_attrition(spark, tmp_path):
     assert totals["funnel_decision.near_dup_dropped"] == 1
     assert totals["funnel_decision.contaminated_dropped"] == 1
     assert totals["funnel_decision.survivors"] == 2
+
+
+def test_funnel_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Kill the funnel stream mid-ingest and restart from the same
+    checkpoint with a durable (parquet) sink: the final survivor set must
+    equal the batch twin exactly once — recovered dedup/agg state must
+    not re-admit an exact duplicate whose first occurrence was processed
+    before the kill, and the file-sink commit log must not double-write."""
+    import time as _time
+
+    clean_text_0 = _tokens(list(range(1000, 1012)))
+    docs = [
+        {"doc_id": 1000, "lang": "en", "text": clean_text_0},
+        # dup processed BEFORE the kill (arrives right after the original)
+        {"doc_id": 2000, "lang": "en", "text": clean_text_0},
+    ]
+    for i in range(1, 24):  # clean docs, distinct vocab per doc
+        docs.append(
+            {
+                "doc_id": 1000 + i,
+                "lang": "en",
+                "text": _tokens(list(range(1000 + 20 * i, 1012 + 20 * i))),
+            }
+        )
+        if i == 20:
+            # dup processed AFTER the restart, while the original's fp key
+            # (first file, pre-kill) is still inside the 10-min dedup
+            # horizon — the recovered state must reject it
+            docs.append({"doc_id": 2001, "lang": "en", "text": clean_text_0})
+    docs.append({"doc_id": 3000, "lang": "en", "text": NEAR_DUP_TEXT})
+    docs.append({"doc_id": 3001, "lang": "en", "text": CONTAM_TEXT})
+    docs.append({"doc_id": 3002, "lang": "fr", "text": CLEAN_2})
+    # tight 5-second spacing keeps every event inside the dedup watermark
+    # horizon (total span ~2.5 min << 10 min delay); the sentinel alone
+    # advances the watermark past the verdict windows
+    for k, row in enumerate(docs):
+        row["ingest_ts"] = f"2024-01-01 10:{(5 * k) // 60:02d}:{(5 * k) % 60:02d}"
+    docs.append(
+        {"doc_id": 9999, "lang": "en", "text": SENTINEL,
+         "ingest_ts": "2024-01-01 14:00:00"}
+    )
+
+    src = os.path.join(str(tmp_path), "in")
+    os.makedirs(src)
+    base = 1_700_000_000
+    for k, row in enumerate(docs):
+        fp = os.path.join(src, f"d{k:03d}.json")
+        with open(fp, "w") as f:
+            f.write(json.dumps(row))
+        os.utime(fp, (base + 10 * k, base + 10 * k))
+
+    pt = _statics(spark)
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def start(trigger_kwargs):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return (
+            funnel.ingest_curation_plan(stream, pt)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q = start({"processingTime": "0 seconds"})
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        lp = q.lastProgress
+        if lp and int(lp["batchId"]) >= 5:
+            break
+        _time.sleep(0.5)
+    assert q.lastProgress and int(q.lastProgress["batchId"]) >= 5
+    q.stop()  # mid-stream kill: most files (incl. sentinel) unprocessed
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: r for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in funnel.ingest_curation_plan(
+            spark.createDataFrame(
+                [tuple(d.values()) for d in docs],
+                "doc_id long, lang string, text string, ingest_ts string",
+            ).withColumn("ingest_ts", F.to_timestamp("ingest_ts")),
+            pt,
+        ).collect()
+        if r["doc_id"] != 9999  # sentinel held by the watermark on the stream
+    }
+    # survivors: 24 clean docs exactly once (dups/near-dup/contam/fr dropped)
+    assert set(got) == set(batch) == {1000 + i for i in range(24)}
+    for d, br in batch.items():
+        assert (got[d]["fp"], got[d]["n_tok"]) == (br["fp"], br["n_tok"])
