@@ -253,3 +253,40 @@ def q_raster_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.synthetic_raster_payloads(docs, "doc_id")
     resized = multimodal.resize_raster(payloads, 16, 12, "doc_id")
     return multimodal.raster_decode_stats(resized, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PNG lane: REAL compressed decode (stdlib zlib DEFLATE + scanline filters)
+# ---------------------------------------------------------------------------
+
+_PNG_DECODE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id, unnest(range((8 + d.doc_id % 9) * (6 + d.doc_id % 7))) AS i
+  FROM documents d
+)
+SELECT p.doc_id,
+  CAST(8 + p.doc_id % 9 AS INT) AS width,
+  CAST(6 + p.doc_id % 7 AS INT) AS height,
+  ROUND(SUM(
+      299 * ((p.doc_id * 31 + 3 * p.i) % 256)
+    + 587 * ((p.doc_id * 31 + 3 * p.i + 1) % 256)
+    + 114 * ((p.doc_id * 31 + 3 * p.i + 2) % 256)
+  ) / (1000.0 * (8 + p.doc_id % 9) * (6 + p.doc_id % 7)), 6) AS mean_luma
+FROM px p
+GROUP BY p.doc_id
+"""
+
+
+@register("multimodal_png_decode", _PNG_DECODE_ORACLE)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-format decode: the fixture pixels (same closed
+    form as the BMP/PPM lane) round-trip through genuine zlib DEFLATE
+    compression with all five PNG scanline filters cycling per row; the
+    decoder must verify chunk CRCs, inflate, and undo the Sub/Up/
+    Average/Paeth byte recursions exactly for the luma hashes to match.
+    Dependency-free: zlib is the Python stdlib. This closes the
+    'compressed formats are environment-bounded' caveat for PNG —
+    JPEG/H.264-class DCT codecs remain out of scope."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthetic_png_payloads(docs, "doc_id")
+    return multimodal.png_decode_stats(payloads, "doc_id")

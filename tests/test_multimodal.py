@@ -428,6 +428,7 @@ def test_codec_fuzz_never_crashes():
         multimodal.encode_ppm(6, 4, rgb),
         multimodal.encode_wav(8000, 2, np.arange(-8, 8, dtype=np.int16)),
         multimodal.encode_avi(4, 3, 10, [(np.arange(36) % 256).astype(np.uint8).tobytes()]),
+        multimodal.encode_png(6, 4, rgb),
     ]
 
     @settings(max_examples=120, deadline=None)
@@ -450,6 +451,7 @@ def test_codec_fuzz_never_crashes():
             (multimodal.decode_raster, (IndexError,)),
             (multimodal.decode_wav, ()),
             (multimodal.decode_avi, ()),
+            (multimodal.decode_png, ()),
         ):
             try:
                 decoder(payload)
@@ -457,3 +459,73 @@ def test_codec_fuzz_never_crashes():
                 pass
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# PNG lane: real DEFLATE + scanline filters
+# ---------------------------------------------------------------------------
+
+
+def test_png_round_trip_all_filters():
+    """The encoder cycles filters row % 5, so any image with >=5 rows
+    exercises None/Sub/Up/Average/Paeth; decode must be bit-exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (3, 7), (16, 12), (5, 5)]:
+        rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.int64).astype(
+            np.uint8
+        ).tobytes()
+        w2, h2, px = multimodal.decode_png(multimodal.encode_png(w, h, rgb))
+        assert (w2, h2) == (w, h)
+        assert px.tobytes() == rgb
+
+
+def test_png_round_trip_property():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=15),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.int64).astype(
+            np.uint8
+        ).tobytes()
+        w2, h2, px = multimodal.decode_png(multimodal.encode_png(w, h, rgb))
+        assert (w2, h2, px.tobytes()) == (w, h, rgb)
+
+    check()
+
+
+def test_png_rejects_crc_corruption_and_variants():
+    import numpy as np
+    import pytest
+
+    rgb = (np.arange(3 * 4 * 6) % 256).astype(np.uint8).tobytes()
+    ok = multimodal.encode_png(4, 6, rgb)
+    # flip one byte INSIDE the IDAT data: CRC check must catch it
+    idat_off = ok.index(b"IDAT") + 6
+    bad = bytearray(ok)
+    bad[idat_off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    # unsupported variant: patch IHDR color type to palette (3) and
+    # re-sign the chunk CRC so the VARIANT check (not the CRC) rejects it
+    import zlib
+
+    bad2 = bytearray(ok)
+    ihdr_type = ok.index(b"IHDR")
+    bad2[ihdr_type + 4 + 9] = 3
+    new_crc = zlib.crc32(bytes(bad2[ihdr_type : ihdr_type + 4 + 13])) & 0xFFFFFFFF
+    bad2[ihdr_type + 17 : ihdr_type + 21] = new_crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal.decode_png(bytes(bad2))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks
+    with pytest.raises(ValueError):
+        multimodal.decode_png(ok[:-8])  # truncated (no IEND)
