@@ -1139,7 +1139,13 @@ def decode_png(payload: bytes):
             out[y] = line
         elif f == 2:
             out[y] = (line + prior) % 256
-        elif f in (1, 3, 4):
+        elif f == 1:
+            # Sub unfilter is a per-channel prefix sum mod 256 — vector
+            # cumsum instead of the per-pixel recursion (the int64
+            # accumulator cannot overflow at any sane width)
+            for c in range(3):
+                out[y][c::3] = np.cumsum(line[c::3]) % 256
+        elif f in (3, 4):
             # left-neighbor recursion: sequential per pixel, vector per channel
             rec = out[y]
             for x in range(width):

@@ -58,6 +58,9 @@ LANES = {
     "avi_framesample": lambda ids: multimodal.avi_frame_sample(
         multimodal.synthetic_avi_payloads(ids, "doc_id"), every=2, id_col="doc_id"
     ),
+    "png_decode": lambda ids: multimodal.png_decode_stats(
+        multimodal.synthetic_png_payloads(ids, "doc_id"), "doc_id"
+    ),
 }
 
 
