@@ -1,0 +1,147 @@
+"""Extension queries, round 48: cross-modal curation — the three REAL
+decode lanes (audio, video, raster image) joined per document into one
+relational quality verdict.
+
+This is the composition story for multimodal curation: each lane's
+mapInPandas black box ends at a typed stats frame; everything after —
+the per-doc video rollup, the three-way join, the flag arithmetic, the
+CASE decision — is ordinary codegen'd relational algebra, exactly how a
+production pipeline fuses modality features. All features are
+closed-form in doc_id, so the DuckDB oracle replays audio amplitude,
+sampled-frame luma, AND image luma analytically and the full
+decode -> fuse -> decide chain is hash-checked.
+
+Flag semantics (thresholds chosen to split the fixture population, the
+real-world analogs in parens):
+  - audio_clipped: peak |sample| reaches the fixture's 2000 full-scale
+    (ADC clipping detection);
+  - video_dark: floor-scaled micro mean luma over the SAMPLED frames
+    < 127000000 (black/dark clip screening);
+  - image_bright: poster-frame luma > 128.0 (over-exposure screening).
+DROP when clipped AND dark; REVIEW on any single flag; else KEEP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.functions import multimodal
+from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+_CROSS_MODAL_ORACLE = """
+WITH audio_idx AS (
+  SELECT doc_id,
+         unnest(range((400 + doc_id % 241) * (1 + doc_id % 2))) AS i
+  FROM documents
+), audio AS (
+  SELECT doc_id,
+         CAST(max(abs(((doc_id * 37 + i * 13) % 4001) - 2000)) AS BIGINT)
+           AS audio_peak_abs
+  FROM audio_idx GROUP BY doc_id
+), vid_frames AS (
+  SELECT doc_id, w, h, f FROM (
+    SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 4 AS h,
+           unnest(range(2 + doc_id % 3)) AS f
+    FROM documents
+  ) WHERE f % 2 = 0
+), vid_px AS (
+  SELECT doc_id, w, h, f, unnest(range(w * h)) AS i FROM vid_frames
+), vid_luma AS (
+  SELECT doc_id, f,
+         round(SUM(
+             299 * ((doc_id * 31 + f * 97 + 3 * i) % 256)
+           + 587 * ((doc_id * 31 + f * 97 + 3 * i + 1) % 256)
+           + 114 * ((doc_id * 31 + f * 97 + 3 * i + 2) % 256)
+         ) / (1000.0 * w * h), 6) AS frame_luma
+  FROM vid_px GROUP BY doc_id, f, w, h
+), video AS (
+  -- floor-scaled micro-luma, not round(avg, 6): the avg of two round-6
+  -- doubles can land on a 7th-decimal rounding tie where engine round
+  -- implementations disagree; floor is tie-free on identical doubles
+  SELECT doc_id,
+         CAST(floor(avg(frame_luma) * 1000000) AS BIGINT)
+           AS video_avg_luma_micro
+  FROM vid_luma GROUP BY doc_id
+), img_px AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+         unnest(range((8 + doc_id % 9) * (6 + doc_id % 7))) AS i
+  FROM documents
+), image AS (
+  SELECT doc_id,
+         round(SUM(
+             299 * ((doc_id * 31 + 3 * i) % 256)
+           + 587 * ((doc_id * 31 + 3 * i + 1) % 256)
+           + 114 * ((doc_id * 31 + 3 * i + 2) % 256)
+         ) / (1000.0 * w * h), 6) AS image_luma
+  FROM img_px GROUP BY doc_id, w, h
+), fused AS (
+  SELECT a.doc_id, a.audio_peak_abs, v.video_avg_luma_micro, i.image_luma,
+         CAST(a.audio_peak_abs >= 2000 AS BOOLEAN) AS audio_clipped,
+         CAST(v.video_avg_luma_micro < 127000000 AS BOOLEAN) AS video_dark,
+         CAST(i.image_luma > 128.0 AS BOOLEAN) AS image_bright
+  FROM audio a
+  JOIN video v ON v.doc_id = a.doc_id
+  JOIN image i ON i.doc_id = a.doc_id
+)
+SELECT doc_id, audio_peak_abs, video_avg_luma_micro, image_luma,
+       audio_clipped, video_dark, image_bright,
+       CASE
+         WHEN audio_clipped AND video_dark THEN 'DROP'
+         WHEN audio_clipped OR video_dark OR image_bright THEN 'REVIEW'
+         ELSE 'KEEP'
+       END AS decision
+FROM fused
+"""
+
+
+@register("multimodal_curation_flags", _CROSS_MODAL_ORACLE)
+def q_multimodal_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode ALL THREE modalities per document (real WAV, real AVI
+    frames, real BMP/PPM), fuse the features with two equi-joins, and
+    derive the keep/review/drop verdict in a codegen'd CASE — the
+    cross-modal curation shape, hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = multimodal.wav_decode_stats(
+        multimodal.synthetic_wav_payloads(docs, "doc_id"), "doc_id"
+    ).select("doc_id", F.col("peak_abs").alias("audio_peak_abs"))
+    video = (
+        multimodal.avi_frame_sample(
+            multimodal.synthetic_avi_payloads(docs, "doc_id"),
+            every=2,
+            id_col="doc_id",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.avg("mean_luma") * 1_000_000)
+            .cast("bigint")
+            .alias("video_avg_luma_micro")
+        )
+    )
+    image = multimodal.raster_decode_stats(
+        multimodal.synthetic_raster_payloads(docs, "doc_id"), "doc_id"
+    ).select("doc_id", F.col("mean_luma").alias("image_luma"))
+    fused = (
+        audio.join(video, "doc_id")
+        .join(image, "doc_id")
+        .withColumn("audio_clipped", F.col("audio_peak_abs") >= 2000)
+        .withColumn("video_dark", F.col("video_avg_luma_micro") < 127_000_000)
+        .withColumn("image_bright", F.col("image_luma") > 128.0)
+    )
+    return fused.select(
+        "doc_id",
+        "audio_peak_abs",
+        "video_avg_luma_micro",
+        "image_luma",
+        "audio_clipped",
+        "video_dark",
+        "image_bright",
+        F.when(F.col("audio_clipped") & F.col("video_dark"), F.lit("DROP"))
+        .when(
+            F.col("audio_clipped") | F.col("video_dark") | F.col("image_bright"),
+            F.lit("REVIEW"),
+        )
+        .otherwise(F.lit("KEEP"))
+        .alias("decision"),
+    )

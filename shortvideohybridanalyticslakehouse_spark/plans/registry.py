@@ -89,6 +89,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext45,
         queries_ext46,
         queries_ext47,
+        queries_ext48,
     )
 
     return REGISTRY
