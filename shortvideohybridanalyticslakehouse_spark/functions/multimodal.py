@@ -1234,3 +1234,323 @@ def png_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, PNG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF lane: REAL LZW codec — variable-code-width GIF-LZW (dictionary coding,
+# the second compression family beside PNG's DEFLATE), pure Python/numpy
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF code stream order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: CLEAR/EOI codes, code width grows 9..12 bits,
+    dictionary reset at 4096 entries. LSB-first packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, nxt, width = reset()
+    bw.write(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+            # encoder leads the decoder's dictionary by one entry, so its
+            # width boundary sits one code later: (1 << width) + 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            bw.write(clear, width)
+            table, nxt, width = reset()
+        w = bytes([byte])
+    if w:
+        bw.write(table[w], width)
+    bw.write(eoi, width)
+    return bw.finish()
+
+
+def _lzw_decompress(blob: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of _lzw_compress — full variable-width decode with the
+    KwKwK (code == next) case, width bumps at (1 << width), and CLEAR
+    resets."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    nxt = eoi + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def reset_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = reset_table()
+    while True:
+        while nbits < width:
+            if pos >= len(blob):
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= blob[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = reset_table()
+            nxt = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError("invalid first LZW code")
+            entry = table[code]
+        elif code < nxt and code < len(table):
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and nxt < 4096:
+            table.append(prev + entry[:1])
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """REAL single-frame GIF89a: logical screen descriptor, 256-entry
+    global color table, image descriptor, and the pixel indices run
+    through genuine variable-width GIF-LZW, split into <=255-byte data
+    sub-blocks."""
+    if len(indices) != width * height:
+        raise ValueError("indices length != w*h")
+    if len(palette) != 768:
+        raise ValueError("palette must be 256 RGB entries (768 bytes)")
+
+    def le16(v: int) -> bytes:
+        return int(v).to_bytes(2, "little")
+
+    head = (
+        b"GIF89a"
+        + le16(width)
+        + le16(height)
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+        + palette
+    )
+    desc = b"\x2c" + le16(0) + le16(0) + le16(width) + le16(height) + b"\x00"
+    lzw = _lzw_compress(indices, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"  # block terminator
+    return head + desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes):
+    """Parse a single-frame non-interlaced GIF into (width, height,
+    rgb ndarray (h, w, 3) uint8).
+
+    Real container parsing: header version check, logical screen
+    descriptor + global color table, extension blocks SKIPPED via their
+    sub-block chain (so GIFs with graphic-control/comment extensions
+    decode fine), image descriptor with optional local color table
+    (taking precedence, per spec), sub-block reassembly, true LZW
+    decompression, palette mapping. Raises ValueError on interlaced
+    images or malformed structure.
+    """
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w_screen = int.from_bytes(payload[6:8], "little")
+    h_screen = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        if len(palette) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            local = None
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                local = payload[pos : pos + 3 * n]
+                if len(local) != 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if pos >= len(payload):
+                raise ValueError("missing LZW code size")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF image data")
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                data += payload[pos : pos + n]
+                if len(payload[pos : pos + n]) != n:
+                    raise ValueError("truncated GIF data sub-block")
+                pos += n
+            pal = local or palette
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            idx = _lzw_decompress(bytes(data), min_code)
+            if len(idx) != w * h:
+                raise ValueError("decoded pixel count mismatch")
+            pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            iarr = np.frombuffer(idx, dtype=np.uint8)
+            if iarr.max(initial=0) >= pal_arr.shape[0]:
+                raise ValueError("palette index out of range")
+            return w, h, pal_arr[iarr].reshape(h, w, 3)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    _ = (w_screen, h_screen)  # screen dims informational only
+    raise ValueError("GIF contains no image data")
+
+
+def synthetic_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF fixture generator: per id, a 256-color palette
+    image whose palette bytes AND pixel indices are closed-form —
+
+        w = 10 + id % 11, h = 8 + id % 9
+        palette entry j = ((id*7 + 3j) % 256, ... +1, ... +2)
+        pixel index i   = (id*13 + i*11) % 256
+
+    encoded through REAL variable-width GIF-LZW. Every third id also
+    carries a graphic-control extension block before the image, so
+    decoders must walk the sub-block chain rather than assume a fixed
+    layout."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            ids = pdf[id_col].astype("int64")
+            for d in ids:
+                d = int(d)
+                w, h = 10 + d % 11, 8 + d % 9
+                pal = (
+                    ((d * 7 + np.arange(768, dtype=np.int64)) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                idx = (
+                    ((d * 13 + np.arange(w * h, dtype=np.int64) * 11) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                gif = encode_gif(w, h, idx, pal)
+                if d % 3 == 0:
+                    # splice a graphic-control extension before the image
+                    head_end = 13 + 768
+                    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                    gif = gif[:head_end] + ext + gif[head_end:]
+                payloads.append(gif)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+def gif_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL LZW decode + feature extraction over mapInPandas: decompress
+    + palette-map each GIF and emit dimensions plus integer-exact mean
+    luma (same output contract as the PNG lane)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, lumas = [], [], []
+            for p in pdf["payload"]:
+                w, h, rgb = decode_gif(bytes(p))
+                ws.append(w)
+                hs.append(h)
+                lumas.append(mean_luma(rgb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "mean_luma": pd.array(lumas, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, PNG_STATS_SCHEMA)

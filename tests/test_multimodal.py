@@ -429,6 +429,7 @@ def test_codec_fuzz_never_crashes():
         multimodal.encode_wav(8000, 2, np.arange(-8, 8, dtype=np.int16)),
         multimodal.encode_avi(4, 3, 10, [(np.arange(36) % 256).astype(np.uint8).tobytes()]),
         multimodal.encode_png(6, 4, rgb),
+        multimodal.encode_gif(6, 4, bytes(24), bytes(768)),
     ]
 
     @settings(max_examples=120, deadline=None)
@@ -452,6 +453,7 @@ def test_codec_fuzz_never_crashes():
             (multimodal.decode_wav, ()),
             (multimodal.decode_avi, ()),
             (multimodal.decode_png, ()),
+            (multimodal.decode_gif, ()),
         ):
             try:
                 decoder(payload)
@@ -529,3 +531,93 @@ def test_png_rejects_crc_corruption_and_variants():
         multimodal.decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks
     with pytest.raises(ValueError):
         multimodal.decode_png(ok[:-8])  # truncated (no IEND)
+
+
+# ---------------------------------------------------------------------------
+# GIF lane: real variable-width LZW
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_round_trip_regimes():
+    """Width growth (random >256 entries), deep dictionary chains
+    (constant/periodic data, KwKwK), and the 4096-entry reset (large
+    random input) must all round-trip bit-exactly."""
+    import numpy as np
+
+    from shortvideohybridanalyticslakehouse_spark.functions.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.default_rng(9)
+    cases = [
+        b"",
+        b"\x00",
+        b"abcabcabcabc" * 50,
+        bytes(10_000),
+        (b"\x01\x02" * 7000),
+        rng.integers(0, 256, size=1500, dtype=np.int64).astype(np.uint8).tobytes(),
+        rng.integers(0, 256, size=12_000, dtype=np.int64).astype(np.uint8).tobytes(),
+    ]
+    for c in cases:
+        assert _lzw_decompress(_lzw_compress(c)) == c
+
+
+def test_lzw_round_trip_property():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from shortvideohybridanalyticslakehouse_spark.functions.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=6000),
+        alphabet=st.integers(min_value=1, max_value=256),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, alphabet, seed):
+        rng = np.random.default_rng(seed)
+        data = rng.integers(0, alphabet, size=n, dtype=np.int64).astype(
+            np.uint8
+        ).tobytes()
+        assert _lzw_decompress(_lzw_compress(data)) == data
+
+    check()
+
+
+def test_gif_round_trip_with_extension_block():
+    import numpy as np
+
+    w, h = 10, 8
+    pal = ((np.arange(768) * 3) % 256).astype(np.uint8).tobytes()
+    idx = ((np.arange(w * h) * 7) % 256).astype(np.uint8).tobytes()
+    gif = multimodal.encode_gif(w, h, idx, pal)
+    # splice a comment extension: the decoder must skip its sub-blocks
+    head_end = 13 + 768
+    ext = b"\x21\xfe\x05hello\x00"
+    spliced = gif[:head_end] + ext + gif[head_end:]
+    pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    expect = pal_arr[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w, 3)
+    for payload in (gif, spliced):
+        w2, h2, rgb = multimodal.decode_gif(payload)
+        assert (w2, h2) == (w, h) and (rgb == expect).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    pal = bytes(768)
+    ok = multimodal.encode_gif(4, 3, bytes(12), pal)
+    for bad in [b"", b"GIF89a", ok[:-1][: len(ok) - 30], b"NOTGIF" + ok[6:]]:
+        with pytest.raises(ValueError):
+            multimodal.decode_gif(bad)
+    # interlace flag set -> explicit unsupported-variant error
+    bad2 = bytearray(ok)
+    desc = ok.index(b"\x2c", 13 + 768)
+    bad2[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        multimodal.decode_gif(bytes(bad2))
