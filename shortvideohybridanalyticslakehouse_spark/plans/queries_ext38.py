@@ -234,10 +234,16 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_sig = dedupfns.minhash_signatures_df(
         docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
     )
-    # Deliberately LAZY (round-5 measurement): all three uses of the
-    # oriented edge list live in ONE job, where exchange reuse shares the
-    # shuffles — persisting measured ~6.2-7.8 s warm vs ~5.4 s lazy, and
-    # the lazy plan leaks no cache blocks.
+    # Deliberately LAZY at THIS scale (round-5 measurement): all three
+    # uses of the oriented edge list live in ONE job, where exchange
+    # reuse shares many shuffles — persisting measured ~6.2-7.8 s warm vs
+    # ~5.4 s lazy on local[32], and the lazy plan leaks no cache blocks.
+    # SCALE NOTE: exchange reuse is not guaranteed across all branches
+    # (the audit shows the banded-join subtree recomputed), so at 100 TB
+    # — where that subtree is hours, not seconds — the right shape flips
+    # to persist/checkpoint the oriented edges exactly like PageRank's
+    # finalize_bounded pattern below; the flip is a two-line change and
+    # the cache-hygiene gate already covers it.
     pairs = (
         dedupfns.minhash_candidate_pairs(
             with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2

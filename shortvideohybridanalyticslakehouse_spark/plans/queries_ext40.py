@@ -167,11 +167,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = s1.join(qdoc.filter(pass_all).select("doc_id"), "doc_id", "left_semi")
 
-    # Deliberately LAZY (round-5 measurement): persisting this hub frame
-    # serializes the pipeline into materialize-then-read and costs ~9 s vs
-    # ~5.3 s for the fully pipelined multi-branch job, where Catalyst's
-    # exchange reuse already shares the expensive subtrees across the six
-    # stage aggregates — and a lazy plan leaks no cache blocks.
+    # Deliberately LAZY at THIS scale (round-5 measurement): persisting
+    # this hub frame serializes the pipeline into materialize-then-read
+    # and costs ~9 s vs ~5.3 s for the fully pipelined multi-branch job
+    # on local[32], where Catalyst's exchange reuse shares the expensive
+    # subtrees across the six stage aggregates — and a lazy plan leaks no
+    # cache blocks. SCALE NOTE: where reuse does NOT fire (the audit
+    # shows some stage branches recompute), a 100 TB run flips to
+    # persisting s3 (the PageRank finalize_bounded pattern) — the
+    # measured local trade, not a universal rule.
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id").asc())
     s3 = (
         s2.withColumn("_rn", F.row_number().over(w))

@@ -51,7 +51,11 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> str:
         return f"| {name} | ERROR: {str(e)[:80]} | | | |"
     joins = [ABBREV[j] for j in JOIN_RE.findall(plan)]
     join_txt = "+".join(sorted(set(joins), key=joins.index)) or "—"
-    n_exchange = plan.count("Exchange")
+    # real shuffles only: ReusedExchange re-reads an existing shuffle's
+    # files (no new exchange work), and its name CONTAINS "Exchange" so a
+    # naive substring count overstates lazy multi-branch plans badly
+    n_reused = plan.count("ReusedExchange")
+    n_exchange = plan.count("Exchange") - n_reused
     # codegen stages appear as "*(n)" prefixes in the compact plan string
     n_wscg = len(set(re.findall(r"\*\((\d+)\)", plan)))
     n_scans = plan.count("ReadSchema")
@@ -63,7 +67,8 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> str:
     if "WindowGroupLimit" in plan:
         topk.append("WinGroupLimit")
     return (
-        f"| {name} | {join_txt} | {n_exchange} | {n_wscg} | "
+        f"| {name} | {join_txt} | {n_exchange}"
+        f"{f' (+{n_reused} reused)' if n_reused else ''} | {n_wscg} | "
         f"{n_scans} scans / {pushed} pushed | {'+'.join(topk) or '—'} |"
     )
 
