@@ -270,3 +270,63 @@ def test_funnel_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     assert set(got) == set(batch) == {1000 + i for i in range(24)}
     for d, br in batch.items():
         assert (got[d]["fp"], got[d]["n_tok"]) == (br["fp"], br["n_tok"])
+
+
+def test_bucketed_probe_table_elides_static_side_shuffle(spark, tmp_path):
+    """The 100 TB co-location path: writing the probe table bucketed on
+    the join keys (ptype, pkey) lets the funnel's screening join consume
+    the bucketed scan's partitioning directly — NO Exchange on the
+    static side (only an in-partition Sort), and results identical to
+    the unbucketed plan. At scale this deletes the per-micro-batch
+    reshuffle of the whole corpus index."""
+    pt = _statics(spark)
+    table = "curation_probe_bkt_test"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            pt.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(4, "ptype", "pkey")
+            .sortBy("ptype", "pkey")
+            .saveAsTable(table)
+        )
+        bucketed = spark.table(table)
+        out = funnel.ingest_curation_plan(_batch_docs(spark), bucketed)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan  # bucketed scan actually used
+        # the node DIRECTLY above the bucketed scan must be the join's
+        # in-partition Sort, not an Exchange (shuffle elided on the
+        # static side; the stream side still co-partitions, correctly)
+        lines = plan.split("\n")
+        idx = next(i for i, line in enumerate(lines) if table in line)
+        # immediate ancestor chain above the scan (Filter -> Sort -> join):
+        # must reach a Sort with NO Exchange in between
+        chain = lines[max(0, idx - 3) : idx]
+        assert any("Sort [" in line for line in chain), chain
+        assert not any("Exchange" in line for line in chain), chain
+        # and the whole bucketed plan carries strictly fewer shuffles
+        # than the unbucketed twin
+        def real_exchanges(p: str) -> int:
+            return p.count("Exchange") - p.count("ReusedExchange")
+
+        plain_plan = (
+            funnel.ingest_curation_plan(_batch_docs(spark), pt)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert real_exchanges(plan) < real_exchanges(plain_plan)
+        # value parity with the unbucketed path
+        expect = {
+            (r["doc_id"], r["fp"], r["n_tok"], r["corpus_agreement"])
+            for r in funnel.ingest_curation_plan(_batch_docs(spark), pt).collect()
+        }
+        got = {
+            (r["doc_id"], r["fp"], r["n_tok"], r["corpus_agreement"])
+            for r in out.collect()
+        }
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
