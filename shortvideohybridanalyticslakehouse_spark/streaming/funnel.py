@@ -76,7 +76,10 @@ def build_curation_probe_table(
       - one row per distinct holdout ``gram_k``-gram hash: ('gram', gh,
         null, null)
 
-    Write it to parquet (bucketed by pkey for a co-located join at scale)
+    Write it out with bucketBy(n, 'ptype', 'pkey') for the co-located
+    join at scale — the bucketed scan's partitioning feeds the screening
+    join with NO static-side Exchange (asserted in
+    test_stream_curation_funnel.py)
     and point the stream at the path — stream-static joins re-read the
     static plan every micro-batch, so an index refreshed on disk is
     picked up without a restart.
