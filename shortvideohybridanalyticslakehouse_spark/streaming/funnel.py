@@ -79,10 +79,9 @@ def build_curation_probe_table(
     Write it out with bucketBy(n, 'ptype', 'pkey') for the co-located
     join at scale — the bucketed scan's partitioning feeds the screening
     join with NO static-side Exchange (asserted in
-    test_stream_curation_funnel.py)
-    and point the stream at the path — stream-static joins re-read the
-    static plan every micro-batch, so an index refreshed on disk is
-    picked up without a restart.
+    test_stream_curation_funnel.py) — and point the stream at the table:
+    stream-static joins re-read the static plan every micro-batch, so an
+    index refreshed on disk is picked up without a restart.
     """
     with_sig = dedupfns.minhash_signatures_df(
         corpus, id_col, text_col, k=2, num_hashes=num_hashes, out_col="minhash"
