@@ -187,3 +187,103 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.synthetic_gif_payloads(docs, "doc_id")
     return multimodal.gif_decode_stats(payloads, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — boundary-hash chunking, the
+# shift-robust dedup family (fixed-stride chunking breaks on one inserted
+# character; CDC boundaries re-synchronize)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 16  # boundary window (chars)
+_CDC_D = 64  # boundary divisor => expected chunk length ~64 chars
+
+from shortvideohybridanalyticslakehouse_spark.functions.dedupfns import (  # noqa: E402
+    hash60,
+)
+
+_CDC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS txt, length(lower(text)) AS n
+  FROM documents WHERE length(text) > 0
+), bnd AS (
+  SELECT doc_id, txt, n,
+         list_prepend(1, list_filter(
+           range(2, greatest(n - {_CDC_W} + 1, 1) + 1),
+           p -> CAST(('0x' || substr(md5(substr(txt, p, {_CDC_W})), 1, 15))
+                     AS BIGINT) % {_CDC_D} = 0)) AS starts
+  FROM t
+), chunks AS (
+  SELECT doc_id,
+         md5(substr(txt, starts[k],
+             coalesce(starts[k + 1], n + 1) - starts[k])) AS chunk_md5
+  FROM bnd, unnest(range(1, len(starts) + 1)) AS u(k)
+), freq AS (
+  SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count_if(f.n_docs > 1) AS BIGINT) AS n_shared_chunks,
+       round(CAST(count_if(f.n_docs > 1) AS DOUBLE) / count(*), 6)
+         AS shared_ratio
+FROM chunks c JOIN freq f ON f.chunk_md5 = c.chunk_md5
+GROUP BY c.doc_id
+"""
+
+
+@register("cdc_chunk_dedup_stats", _CDC_ORACLE)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: a chunk boundary sits BEFORE every
+    position p whose {_CDC_W}-char window hashes to 0 mod {_CDC_D}, so
+    chunk boundaries depend only on LOCAL content — an insertion shifts
+    at most the chunk it lands in and its neighbor, then boundaries
+    re-synchronize (the property fixed-stride chunking lacks; compare
+    chunk_dedup_stats' 64/48 token windows). Per doc: chunk count, chunks
+    shared with ANY other doc, and the shared ratio — the
+    copy-detection signal dataset dedup acts on. All boundary arithmetic
+    is in-row HOFs (sequence/filter/transform + substr), shuffles only
+    the O(chunks) md5 relation; the oracle replays the identical
+    boundary function in SQL."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.col("text")) > 0
+    )
+    txt = F.lower(F.col("text"))
+    n = F.length(txt)
+    base = docs.select("doc_id", txt.alias("txt"), n.alias("n"))
+    # candidate boundary positions 2..n-W+1 (a boundary at 1 is implicit)
+    cand = F.sequence(F.lit(2), F.greatest(F.col("n") - _CDC_W + 1, F.lit(1)))
+    is_bnd = lambda p: (  # noqa: E731
+        hash60(F.col("txt").substr(p, F.lit(_CDC_W))) % _CDC_D == 0
+    )
+    starts = F.concat(F.array(F.lit(1)), F.filter(cand, is_bnd))
+    with_starts = base.withColumn("starts", starts)
+    ks = F.sequence(F.lit(1), F.size(F.col("starts")))
+    chunk_md5 = lambda k: F.md5(  # noqa: E731
+        F.col("txt").substr(
+            F.element_at(F.col("starts"), k),
+            F.coalesce(
+                F.element_at(F.col("starts"), k + 1), F.col("n") + 1
+            )
+            - F.element_at(F.col("starts"), k),
+        )
+    )
+    chunks = with_starts.select(
+        "doc_id", F.explode(F.transform(ks, chunk_md5)).alias("chunk_md5")
+    )
+    freq = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("n_docs") > 1).alias("n_shared_chunks"),
+            F.round(
+                F.count_if(F.col("n_docs") > 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_ratio"),
+        )
+    )
