@@ -235,7 +235,7 @@ GROUP BY c.doc_id
 @register("cdc_chunk_dedup_stats", _CDC_ORACLE)
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup: a chunk boundary sits BEFORE every
-    position p whose {_CDC_W}-char window hashes to 0 mod {_CDC_D}, so
+    position p whose 16-char window hashes to 0 mod 64 (_CDC_W/_CDC_D), so
     chunk boundaries depend only on LOCAL content — an insertion shifts
     at most the chunk it lands in and its neighbor, then boundaries
     re-synchronize (the property fixed-stride chunking lacks; compare
