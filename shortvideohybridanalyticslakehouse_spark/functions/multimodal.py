@@ -27,10 +27,16 @@ Codecs — the REAL-decode triad, all dependency-free numpy parsing:
   luma (`multimodal_video_framesample`);
 - COMPRESSED raster: real PNG (`decode_png` / `encode_png`) — stdlib
   zlib DEFLATE + CRC-verified chunks + all five scanline filters
-  (`multimodal_png_decode`), no external codec library.
+  (`multimodal_png_decode`); real GIF (`decode_gif` / `encode_gif`) —
+  variable-code-width LZW (`multimodal_gif_decode`); and real baseline
+  JPEG (`decode_jpeg_gray` / `encode_jpeg_gray`) — T.81 SOF0 canonical
+  Huffman entropy decode, dequant, zigzag, float IDCT, byte stuffing,
+  restart markers (`multimodal_jpeg_decode`). All three mainstream
+  image-compression families (DEFLATE / LZW / DCT+Huffman) decode for
+  real with no external codec library.
 
-DCT-class compressed formats (JPEG/MP3/H.264) remain environment-bounded
-(their codecs are not stdlib and cannot be installed here);
+Multi-component chroma-subsampled JPEG and the video/audio DCT codecs
+(MP3/H.264) remain out of scope (the fixtures are grayscale-baseline);
 `_decode_image` detects PNG/raster magic bytes for the real paths and
 otherwise falls back to a deterministic byte-level fake so such payloads
 still exercise the full plumbing with stable outputs.
@@ -1554,3 +1560,509 @@ def gif_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, PNG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG lane: REAL baseline DCT codec — ITU-T T.81 SOF0 grayscale with
+# canonical Huffman entropy coding, dequantization, zigzag, float IDCT,
+# byte stuffing, and restart markers. Dependency-free (numpy only).
+# This closes the DCT-class compressed-format gap: with PNG (DEFLATE) and
+# GIF (LZW) this covers all three mainstream image compression families.
+# ---------------------------------------------------------------------------
+
+# Zigzag scan order (T.81 Figure 5): entry t = raster index (u*8+v) of
+# zigzag position t.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Standard luminance Huffman tables (T.81 Annex K.3): BITS (codes per
+# length 1..16) + HUFFVAL (symbols in code order).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 Annex C): returns
+    {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_map(bits, vals):
+    """Inverse of _jpeg_canonical_codes: {(length, code): symbol}."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+def _idct_matrix():
+    """M[u, y] = C_u/2 * cos((2y+1)u*pi/16); pixels = M.T @ S @ M."""
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for y in range(8):
+            m[u, y] = cu / 2.0 * np.cos((2 * y + 1) * u * np.pi / 16.0)
+    return m
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (0xFF -> 0xFF00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush_ones(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category SSSS: bit length of |v| (0 for v == 0)."""
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(width, height, block_coefs, dri: int = 0) -> bytes:
+    """REAL baseline JPEG (ITU-T T.81 SOF0), single grayscale component,
+    8x8-aligned dimensions. `block_coefs` is a list of 8x8 int arrays of
+    UNQUANTIZED-but-integral DCT coefficients per block in raster MCU
+    order (quant table is all ones, so quantized == given). Entropy-codes
+    DC diffs + run-length AC with the Annex K luminance tables, inserts
+    byte stuffing, and emits RSTn markers every `dri` MCUs when dri > 0
+    (with DC-predictor reset), exercising the full marker layer."""
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture JPEGs are 8x8-aligned")
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    w = _JpegBitWriter()
+    pred = 0
+    n_since_rst = 0
+    rst_idx = 0
+    for bi, coefs in enumerate(block_coefs):
+        if dri and bi and n_since_rst == dri:
+            w.flush_ones()
+            w.out += bytes([0xFF, 0xD0 + rst_idx])
+            rst_idx = (rst_idx + 1) % 8
+            n_since_rst = 0
+            pred = 0
+        n_since_rst += 1
+        z = [int(np.asarray(coefs).reshape(64)[r]) for r in _JPEG_ZIGZAG]
+        diff = z[0] - pred
+        pred = z[0]
+        s = _jpeg_category(diff)
+        w.write(*dc_codes[s])
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for t in range(1, 64):
+            v = z[t]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.write(*ac_codes[0xF0])  # ZRL: 16 zeros
+                run -= 16
+            s = _jpeg_category(v)
+            w.write(*ac_codes[(run << 4) | s])
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            w.write(*ac_codes[0x00])  # EOB
+    w.flush_ones()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # Pq=0 Tq=0, all ones
+    sof0 = seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),  # 1 component, id=1, 1x1 sampling, Tq=0
+    )
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ) + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    parts = [bytes([0xFF, 0xD8]), dqt, sof0, dht]
+    if dri:
+        parts.append(seg(0xDD, dri.to_bytes(2, "big")))
+    parts.append(seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))
+    parts.append(bytes(w.out))
+    parts.append(bytes([0xFF, 0xD9]))
+    return b"".join(parts)
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader: undoes byte stuffing and stops at
+    any non-stuffing marker (restart markers are consumed explicitly by
+    sync_restart between MCU groups)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("JPEG dangling 0xFF")
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    )
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self, expected: int) -> None:
+        """Discard partial-byte padding, then consume RST(expected)."""
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expected
+        ):
+            raise ValueError(f"expected RST{expected} marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s low bits to the signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Parse and FULLY decode a REAL baseline JPEG (SOF0, one grayscale
+    component, 8x8-aligned, no subsampling) into (width, height,
+    gray ndarray (h, w) uint8).
+
+    Full pipeline: marker/segment walk (DQT/SOF0/DHT/DRI/SOS), canonical
+    Huffman table reconstruction from the DHT BITS+HUFFVAL payload,
+    MSB-first entropy decode with byte-unstuffing, DC prediction +
+    EXTEND, ZRL/EOB run-length AC reconstruction, dequantization, inverse
+    zigzag, float64 IDCT (basis-matrix form), level shift, round, clamp.
+    Restart markers (when DRI is present) are verified to appear exactly
+    on schedule with the right RSTn cycle and reset the DC predictor.
+    Raises ValueError on anything unsupported or malformed."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt = {}
+    dc_map = ac_map = None
+    width = height = None
+    dri = 0
+    comp_tq = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker misalignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG has no scan data")
+        size = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qt[tq] = np.array(list(body[i + 1 : i + 65]), dtype=np.int64)
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise ValueError("only single-component (grayscale) JPEGs")
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEGs unsupported")
+            comp_tq = body[8]
+            if width % 8 or height % 8:
+                raise ValueError("non-8x8-aligned JPEGs unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT")
+                if th != 0:
+                    raise ValueError("only table id 0 used by this lane")
+                if tc == 0:
+                    dc_map = _jpeg_decode_map(bits, vals)
+                else:
+                    ac_map = _jpeg_decode_map(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            pos += 2 + size
+            break
+        pos += 2 + size
+    else:
+        raise ValueError("JPEG missing SOS")
+    if width is None or dc_map is None or ac_map is None or comp_tq not in qt:
+        raise ValueError("JPEG missing SOF0/DHT/DQT before SOS")
+    quant = qt[comp_tq]
+    m = _idct_matrix()
+    bw, bh = width // 8, height // 8
+    out = np.zeros((height, width), dtype=np.uint8)
+    rd = _JpegBitReader(payload, pos)
+    pred = 0
+    n_since_rst = 0
+    rst_idx = 0
+    for bi in range(bw * bh):
+        if dri and bi and n_since_rst == dri:
+            rd.sync_restart(rst_idx)
+            rst_idx = (rst_idx + 1) % 8
+            n_since_rst = 0
+            pred = 0
+        n_since_rst += 1
+        z = np.zeros(64, dtype=np.int64)
+        s = rd.read_symbol(dc_map)
+        diff = _jpeg_extend(rd.read_bits(s), s) if s else 0
+        pred += diff
+        z[0] = pred
+        t = 1
+        while t < 64:
+            rs = rd.read_symbol(ac_map)
+            if rs == 0x00:  # EOB
+                break
+            run, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                t += 16  # ZRL
+                continue
+            t += run
+            if t > 63:
+                raise ValueError("AC run overflows block")
+            z[t] = _jpeg_extend(rd.read_bits(s), s)
+            t += 1
+        coefs = np.zeros(64, dtype=np.int64)
+        coefs[_JPEG_ZIGZAG] = z * quant[np.arange(64)]
+        px = m.T @ coefs.reshape(8, 8).astype(np.float64) @ m + 128.0
+        by, bx = divmod(bi, bw)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.rint(px), 0, 255
+        ).astype(np.uint8)
+    return width, height, out
+
+
+# Planted AC patterns for the JPEG fixtures: (u, v, coef). Pattern 0 is
+# DC-only; (0,1)/(1,0) sit at zigzag positions 1/2 (short runs); (2,3)
+# sits at zigzag position 17, forcing a ZRL (16-zero run) symbol through
+# the entropy coder. Coefficients are chosen so every rounded IDCT pixel
+# delta is >= 0.04 away from a .5 boundary (verified in tests), making
+# the decoded integers exact and SQL-replayable.
+JPEG_PATTERNS = [(0, 0, 0), (0, 1, 37), (1, 0, -29), (2, 3, 51)]
+
+
+def jpeg_pattern_deltas():
+    """Per-pattern decoded-pixel deltas: list of 64-int lists, index
+    i = y*8 + x; decoded pixel = clamp(c + delta[i], 0, 255) for a block
+    whose DC constant is c. This is the closed-form the DuckDB oracle
+    replays — the decoder must recover it from real entropy-coded bytes."""
+    import numpy as np
+
+    m = _idct_matrix()
+    out = []
+    for u, v, coef in JPEG_PATTERNS:
+        if coef == 0:
+            out.append([0] * 64)
+            continue
+        grid = coef * np.outer(m[u], m[v])  # [y, x]
+        out.append([int(r) for r in np.rint(grid).reshape(64)])
+    return out
+
+
+def _jpeg_fixture_dims(d: int) -> tuple[int, int]:
+    return 16 + (d % 3) * 8, 16 + (d % 2) * 8
+
+
+def _jpeg_fixture_payload(d: int) -> bytes:
+    """One REAL baseline JPEG per doc_id: w in {16,24,32}, h in {16,24},
+    block k carries DC constant (d*17 + k*29) % 256 and planted AC
+    pattern (d + k) % 4; every third doc uses restart interval 4."""
+    import numpy as np
+
+    w, h = _jpeg_fixture_dims(d)
+    bw, bh = w // 8, h // 8
+    blocks = []
+    for k in range(bw * bh):
+        c = (d * 17 + k * 29) % 256
+        u, v, coef = JPEG_PATTERNS[(d + k) % 4]
+        coefs = np.zeros((8, 8), dtype=np.int64)
+        coefs[0, 0] = 8 * (c - 128)
+        if coef:
+            coefs[u, v] = coef
+        blocks.append(coefs)
+    return encode_jpeg_gray(w, h, blocks, dri=4 if d % 3 == 0 else 0)
+
+
+def synthetic_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-JPEG fixture generator (see
+    _jpeg_fixture_payload): payloads round-trip Huffman entropy coding,
+    byte stuffing, and (on a third of docs) restart-marker scheduling."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [_jpeg_fixture_payload(int(d)) for d in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def jpeg_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL DCT-family decode + feature extraction over mapInPandas:
+    full baseline JPEG decode per payload, then integer-exact pixel
+    aggregates (sum/min/max) that any entropy-coding, dequant, zigzag,
+    IDCT, rounding, or restart-handling slip would shift."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ws, hs, nb, sums, mins, maxs = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                w, h, px = decode_jpeg_gray(bytes(p))
+                ws.append(w)
+                hs.append(h)
+                nb.append((w // 8) * (h // 8))
+                sums.append(int(px.astype(np.int64).sum()))
+                mins.append(int(px.min()))
+                maxs.append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_blocks": pd.array(nb, dtype="int32"),
+                    "sum_px": pd.array(sums, dtype="int64"),
+                    "min_px": pd.array(mins, dtype="int32"),
+                    "max_px": pd.array(maxs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, JPEG_STATS_SCHEMA)

@@ -90,6 +90,8 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext46,
         queries_ext47,
         queries_ext48,
+        queries_ext49,
+        queries_ext50,
     )
 
     return REGISTRY

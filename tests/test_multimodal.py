@@ -430,6 +430,7 @@ def test_codec_fuzz_never_crashes():
         multimodal.encode_avi(4, 3, 10, [(np.arange(36) % 256).astype(np.uint8).tobytes()]),
         multimodal.encode_png(6, 4, rgb),
         multimodal.encode_gif(6, 4, bytes(24), bytes(768)),
+        multimodal._jpeg_fixture_payload(3),
     ]
 
     @settings(max_examples=120, deadline=None)
@@ -454,6 +455,7 @@ def test_codec_fuzz_never_crashes():
             (multimodal.decode_avi, ()),
             (multimodal.decode_png, ()),
             (multimodal.decode_gif, ()),
+            (multimodal.decode_jpeg_gray, ()),
         ):
             try:
                 decoder(payload)
@@ -621,3 +623,117 @@ def test_gif_rejects_malformed():
     bad2[desc + 9] |= 0x40
     with pytest.raises(ValueError, match="interlaced"):
         multimodal.decode_gif(bytes(bad2))
+
+
+# ---------------------------------------------------------------------------
+# JPEG lane: real baseline DCT codec (Huffman entropy + IDCT)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_fixture_round_trip_exact():
+    """Every fixture decodes to EXACTLY clamp(c + delta[pat][i]) per
+    block — the closed form the DuckDB oracle replays. Covers all four
+    planted patterns, both restart and non-restart docs, and all six
+    dimension combinations."""
+    import numpy as np
+
+    deltas = multimodal.jpeg_pattern_deltas()
+    for d in [0, 1, 2, 3, 4, 5, 6, 7, 11, 100, 255, 499]:
+        w, h = multimodal._jpeg_fixture_dims(d)
+        dw, dh, px = multimodal.decode_jpeg_gray(
+            multimodal._jpeg_fixture_payload(d)
+        )
+        assert (dw, dh) == (w, h)
+        bw = w // 8
+        for k in range((w // 8) * (h // 8)):
+            c = (d * 17 + k * 29) % 256
+            exp = np.clip(
+                np.array(deltas[(d + k) % 4]).reshape(8, 8) + c, 0, 255
+            )
+            by, bx = divmod(k, bw)
+            got = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.int64)
+            assert (got == exp).all(), (d, k)
+
+
+def test_jpeg_delta_margins_and_zrl_position():
+    """The planted coefficients must keep every IDCT pixel delta >= 0.04
+    away from a .5 rounding boundary (so round is unambiguous and the
+    integer oracle is exact), and the (2,3) pattern must sit at zigzag
+    position 17 so the entropy coder is forced through a ZRL symbol."""
+    import numpy as np
+
+    m = multimodal._idct_matrix()
+    for u, v, coef in multimodal.JPEG_PATTERNS:
+        if coef == 0:
+            continue
+        t = coef * np.outer(m[u], m[v])
+        frac = np.abs(t - np.floor(t) - 0.5)
+        assert frac.min() > 0.04, (u, v, coef, frac.min())
+    assert multimodal._JPEG_ZIGZAG.index(2 * 8 + 3) == 17
+
+
+def test_jpeg_restart_markers_validated():
+    """Docs with id % 3 == 0 and >4 blocks carry DRI=4 restart
+    scheduling; a wrong RSTn index must be rejected, and byte stuffing
+    must appear somewhere across the fixture population (proving the
+    decoder's unstuffing path is actually exercised)."""
+    import pytest
+
+    p = multimodal._jpeg_fixture_payload(3)  # 16x24 -> 6 blocks, DRI=4
+    i = p.index(b"\xff\xd0")
+    bad = p[: i + 1] + b"\xd1" + p[i + 2 :]
+    with pytest.raises(ValueError, match="RST"):
+        multimodal.decode_jpeg_gray(bad)
+    # removing the marker entirely must also fail (entropy stream sees
+    # a marker where it expects stuffed data, or runs out of bits)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(p[: i] + p[i + 2 :])
+    sos_stuffed = 0
+    for d in range(40):
+        payload = multimodal._jpeg_fixture_payload(d)
+        scan = payload[payload.index(b"\xff\xda") :]
+        if b"\xff\x00" in scan:
+            sos_stuffed += 1
+    assert sos_stuffed > 0
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import pytest
+
+    p = bytearray(multimodal._jpeg_fixture_payload(1))
+    i = p.index(b"\xff\xc0")
+    p[i + 1] = 0xC2  # progressive SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        multimodal.decode_jpeg_gray(bytes(p))
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg_gray(b"\x00\x01\x02\x03")
+
+
+def test_jpeg_decode_stats_spark(spark):
+    """Spark-side plumbing: synthetic payloads -> mapInPandas decode ->
+    integer-exact aggregates match the closed form for a small id set."""
+    import numpy as np
+
+    deltas = multimodal.jpeg_pattern_deltas()
+    docs = spark.createDataFrame([(d,) for d in [0, 3, 7]], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.jpeg_decode_stats(
+            multimodal.synthetic_jpeg_payloads(docs, "doc_id"), "doc_id"
+        ).collect()
+    }
+    for d in [0, 3, 7]:
+        w, h = multimodal._jpeg_fixture_dims(d)
+        px = []
+        for k in range((w // 8) * (h // 8)):
+            c = (d * 17 + k * 29) % 256
+            px.append(
+                np.clip(np.array(deltas[(d + k) % 4]) + c, 0, 255)
+            )
+        allpx = np.concatenate(px)
+        r = rows[d]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_blocks"] == (w // 8) * (h // 8)
+        assert r["sum_px"] == int(allpx.sum())
+        assert r["min_px"] == int(allpx.min())
+        assert r["max_px"] == int(allpx.max())
