@@ -225,13 +225,20 @@ def mean_luma(rgb) -> float:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode path: REAL raster parse for BMP/P6 payloads and REAL
-    inflate+unfilter for PNG; deterministic byte-level fake (dimensions
-    from the payload hash) for any other format so pipelines exercise
-    the full plumbing with stable outputs."""
+    """Decode path: REAL raster parse for BMP/P6 payloads, REAL
+    inflate+unfilter for PNG, and REAL baseline-JPEG decode for
+    FFD8-magic payloads; deterministic byte-level fake (dimensions from
+    the payload hash) for any other format so pipelines exercise the
+    full plumbing with stable outputs."""
     if payload[:8] == _PNG_SIG:
         try:
             w, h, _ = decode_png(payload)
+            return w, h
+        except (ValueError, IndexError):
+            pass
+    if payload[:2] == b"\xff\xd8":
+        try:
+            w, h, _ = decode_jpeg_gray(payload)
             return w, h
         except (ValueError, IndexError):
             pass

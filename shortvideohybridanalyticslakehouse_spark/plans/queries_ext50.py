@@ -107,10 +107,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl")
         )
     )
-    rn = F.row_number().over(Window.orderBy(F.desc("df"), F.asc("term")))
+    # top-k first via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k, never a full-vocab sort), THEN row_number over the
+    # O(15)-row frame; the lit(0) partition documents the bounded-frame
+    # invariant and avoids the single-partition WindowExec warning.
+    top = stats.orderBy(F.desc("df"), F.asc("term")).limit(
+        _N_QUERIES * _TERMS_PER_QUERY
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("df"), F.asc("term"))
+    )
     qterms = (
-        stats.withColumn("rn", rn)
-        .where(F.col("rn") <= _N_QUERIES * _TERMS_PER_QUERY)
+        top.withColumn("rn", rn)
         .select(
             ((F.col("rn") - 1) / _TERMS_PER_QUERY)
             .cast("int")

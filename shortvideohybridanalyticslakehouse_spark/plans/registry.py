@@ -92,6 +92,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext48,
         queries_ext49,
         queries_ext50,
+        queries_ext51,
     )
 
     return REGISTRY
