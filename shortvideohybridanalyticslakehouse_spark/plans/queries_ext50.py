@@ -98,7 +98,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # doc length re-aggregates the (much smaller) TF frame instead of a
+    # second tokenize+explode pass over the corpus
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     consts = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")

@@ -61,6 +61,9 @@ LANES = {
     "png_decode": lambda ids: multimodal.png_decode_stats(
         multimodal.synthetic_png_payloads(ids, "doc_id"), "doc_id"
     ),
+    "jpeg_decode": lambda ids: multimodal.jpeg_decode_stats(
+        multimodal.synthetic_jpeg_payloads(ids, "doc_id"), "doc_id"
+    ),
 }
 
 
