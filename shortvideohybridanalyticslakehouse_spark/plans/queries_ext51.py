@@ -111,3 +111,111 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-word generalization: chained positional intersection (k = 3 here)
+# ---------------------------------------------------------------------------
+
+_PHRASE3_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         a[CAST(u.i AS INT)] AS t0,
+         a[CAST(u.i AS INT) + 1] AS t1,
+         a[CAST(u.i AS INT) + 2] AS t2
+  FROM tok, unnest(range(1, len(a) - 1)) AS u(i)
+), cnt AS (
+  SELECT t0, t1, t2, count(*) AS c FROM tri GROUP BY 1, 2, 3
+), top5 AS (
+  SELECT t0, t1, t2,
+         CAST(row_number() OVER (ORDER BY c DESC, t0, t1, t2) - 1 AS INT)
+           AS phrase_id
+  FROM cnt ORDER BY c DESC, t0, t1, t2 LIMIT 5
+), hits AS (
+  SELECT p.phrase_id, p.t0, p.t1, p.t2, b.doc_id
+  FROM tri b JOIN top5 p USING (t0, t1, t2)
+)
+SELECT phrase_id, t0 AS term1, t1 AS term2, t2 AS term3,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY 1, 2, 3, 4
+"""
+
+
+def _chained_positional_hits(postings: DataFrame, phrases: DataFrame, k: int):
+    """Generic k-word positional intersection: anchor on term slot 0's
+    postings (broadcast-pruned), then for each later slot i chain one
+    all-equi join on (doc_id, anchor_pos + i = pos_i, slot_term = term).
+    Every postings side is broadcast-pruned to that slot's terms BEFORE
+    the wide join, so shuffle volume stays proportional to query-term
+    postings at any k."""
+    anchor = (
+        postings.join(
+            F.broadcast(phrases), postings["term"] == phrases["t0"]
+        )
+        .drop("term")
+        .withColumnRenamed("pos", "pos0")
+    )
+    for i in range(1, k):
+        terms_i = phrases.select(F.col(f"t{i}").alias("term")).distinct()
+        p_i = (
+            postings.join(F.broadcast(terms_i), "term")
+            .select(
+                F.col("doc_id").alias(f"d{i}"),
+                F.col("pos").alias(f"p{i}"),
+                F.col("term").alias(f"w{i}"),
+            )
+        )
+        anchor = anchor.join(
+            p_i,
+            (F.col("doc_id") == F.col(f"d{i}"))
+            & (F.col("pos0") + i == F.col(f"p{i}"))
+            & (F.col(f"t{i}") == F.col(f"w{i}")),
+        ).drop(f"d{i}", f"p{i}", f"w{i}")
+    return anchor
+
+
+@register("phrase3_search_positional", _PHRASE3_ORACLE)
+def q_phrase3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-word exact phrase matching by CHAINING positional joins —
+    the k-word generalization of phrase_search_positional: anchor
+    postings of the first term, then one equi-join per later slot on
+    (doc_id, anchor_pos + i, term). The oracle verifies through direct
+    adjacent-trigram matching."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    tris = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 2, 0)),"
+        " (x, i) -> struct(x AS t0, toks[i + 1] AS t1, toks[i + 2] AS t2))"
+    )
+    trigrams = toks.select("doc_id", F.explode(tris).alias("p")).select(
+        "doc_id", "p.t0", "p.t1", "p.t2"
+    )
+    cnt = trigrams.groupBy("t0", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    order = [F.desc("c"), F.asc("t0"), F.asc("t1"), F.asc("t2")]
+    top = cnt.orderBy(*order).limit(5)
+    rn = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*order))
+    phrases = top.withColumn("rn", rn).select(
+        (F.col("rn") - 1).cast("int").alias("phrase_id"), "t0", "t1", "t2"
+    )
+    postings = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+    hits = _chained_positional_hits(postings, phrases, 3)
+    return hits.groupBy(
+        "phrase_id",
+        F.col("t0").alias("term1"),
+        F.col("t1").alias("term2"),
+        F.col("t2").alias("term3"),
+    ).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )

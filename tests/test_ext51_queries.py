@@ -57,3 +57,24 @@ def test_phrase_search_adjacency_and_overlap(spark):
         assert (yy.n_docs, yy.n_occurrences) == (1, 2)
     # phrase ids are ordered by frequency then terms, densely 0..4
     assert sorted(r.phrase_id for r in out.values()) == list(range(len(out)))
+
+
+def test_phrase3_chained_adjacency(spark):
+    """Three-word chaining: all three terms must be consecutive, in
+    order; a doc with the words scrambled or gapped must not match."""
+    fn, _ = REGISTRY["phrase3_search_positional"]
+    rows = [
+        (1, "a b c pad1 pad2"),       # exact "a b c"
+        (2, "a b x c pad1"),          # gapped -> no match
+        (3, "c b a pad1 pad2"),       # reversed -> no match
+        (4, "a b c a b c pad1"),      # two occurrences
+        (5, "pad1 a b c pad2"),       # offset occurrence
+    ]
+    d = _write_docs(spark, rows)
+    out = {(r.term1, r.term2, r.term3): r for r in fn(spark, d).collect()}
+    assert ("a", "b", "c") in out
+    abc = out[("a", "b", "c")]
+    assert (abc.n_docs, abc.n_occurrences) == (3, 4)
+    assert ("c", "b", "a") not in out or out[("c", "b", "a")].n_docs == 1
+    for r in out.values():
+        assert r.n_occurrences >= r.n_docs >= 1
