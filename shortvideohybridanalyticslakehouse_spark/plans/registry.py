@@ -93,6 +93,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext49,
         queries_ext50,
         queries_ext51,
+        queries_ext52,
     )
 
     return REGISTRY
