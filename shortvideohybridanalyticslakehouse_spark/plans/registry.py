@@ -94,6 +94,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext50,
         queries_ext51,
         queries_ext52,
+        queries_ext53,
     )
 
     return REGISTRY

@@ -108,3 +108,46 @@ def test_cms_exact_on_collision_free_planted_corpus(spark):
         j = int(term[1:])
         assert r.true_count == j + 1
         assert r.overestimate >= 0
+
+
+def test_kmv_overlap_estimates_and_exact_branch(spark):
+    """KMV semantics on the registry fixture: 10 type pairs; estimates
+    positive; jaccard in [0,1]; intersection_est tracks the exact
+    intersection within 35% when estimating (deterministic — one fixed
+    hash); when an audience is smaller than k the estimate is EXACT."""
+    fn, _ = REGISTRY["kmv_audience_overlap"]
+    rows = fn(spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.card_a_est > 0 and r.card_b_est > 0
+        if r.n_exact_intersection >= 20:
+            rel = abs(r.intersection_est - r.n_exact_intersection) / r.n_exact_intersection
+            assert rel < 0.35, (r.type_a, r.type_b, rel)
+
+
+def test_kmv_exact_below_k(spark):
+    """Audiences smaller than k: the sketch IS the set, so cardinality
+    and intersection estimates are exact."""
+    import tempfile
+
+    rows = [(i, f"2024-01-01T00:{i % 60:02d}:00", i % 30,
+             "view" if i % 2 else "click") for i in range(200)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    fn, _ = REGISTRY["kmv_audience_overlap"]
+    out = fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # odd ids -> view (15 users), even -> click (15 users), overlap 0
+    assert r.card_a_est == 15.0 and r.card_b_est == 15.0
+    assert r.union_est == 30.0
+    assert r.jaccard_est == 0.0 and r.intersection_est == 0.0
+    assert r.n_exact_intersection == 0
