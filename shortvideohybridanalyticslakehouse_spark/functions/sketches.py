@@ -154,3 +154,13 @@ def cms_point_estimates(terms: DataFrame, counters: DataFrame, term_col: str) ->
         .groupBy(term_col)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Union law: the sketch of a union is the elementwise register max.
+    Exact (not approximate) — the property that makes HLL shardable
+    across partitions, micro-batches, and days at 100 TB."""
+    merged = register_frames[0]
+    for frame in register_frames[1:]:
+        merged = merged.unionByName(frame)
+    return merged.groupBy("bucket").agg(F.max("rho").alias("rho"))
