@@ -95,6 +95,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext51,
         queries_ext52,
         queries_ext53,
+        queries_ext54,
     )
 
     return REGISTRY
