@@ -96,6 +96,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext52,
         queries_ext53,
         queries_ext54,
+        queries_ext55,
     )
 
     return REGISTRY

@@ -151,3 +151,18 @@ def test_kmv_exact_below_k(spark):
     assert r.union_est == 30.0
     assert r.jaccard_est == 0.0 and r.intersection_est == 0.0
     assert r.n_exact_intersection == 0
+
+
+def test_quantile_hash_sample_calibration(spark):
+    """Deterministic 5% hash sample: emitted errors are self-consistent
+    (err == |est - exact| after rounding) and the p50 estimate lands
+    within 30% of truth even on the tiny sf0.001 fixture, where the
+    sample is only ~48 rows (fixed hash -> deterministic, not flaky;
+    at sf0.01+ the sample is 10x larger and the error shrinks ~1/sqrt)."""
+    fn, _ = REGISTRY["quantile_hash_sample_estimate"]
+    r = fn(spark, SF).collect()[0]
+    assert 0 < r.sample_rows < r.total_rows
+    for p in ("p50", "p90", "p95"):
+        est, exact, err = r[f"{p}_est"], r[f"{p}_exact"], r[f"{p}_abs_err"]
+        assert abs(abs(est - exact) - err) < 2e-6
+    assert abs(r.p50_est - r.p50_exact) <= 0.30 * max(r.p50_exact, 1e-9)
