@@ -97,6 +97,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext53,
         queries_ext54,
         queries_ext55,
+        queries_ext56,
     )
 
     return REGISTRY

@@ -1,0 +1,85 @@
+"""Binned range join operator (operators/rangejoin.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.operators.rangejoin import (
+    binned_interval_join,
+)
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _frames(spark):
+    events = spark.createDataFrame(
+        [(i, f"2024-01-01T00:{i:02d}:30") for i in range(50)],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [
+            ("w1", "2024-01-01T00:05:00", "2024-01-01T00:10:00"),
+            # spans multiple 300s bins
+            ("w2", "2024-01-01T00:08:00", "2024-01-01T00:31:00"),
+            # zero-width guard: end == start + 1s
+            ("w3", "2024-01-01T00:40:30", "2024-01-01T00:40:31"),
+        ],
+        "wid string, s string, e string",
+    ).select(
+        "wid",
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    return events, intervals
+
+
+def test_binned_join_equals_naive_range_join(spark):
+    """The binned plan must produce EXACTLY the naive crossJoin+filter
+    result (including events matching several overlapping intervals),
+    for bin widths smaller, equal to, and larger than interval spans."""
+    events, intervals = _frames(spark)
+    naive = {
+        (r.event_id, r.wid)
+        for r in events.crossJoin(intervals)
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .collect()
+    }
+    assert naive  # non-trivial fixture
+    for bin_s in (60, 300, 3600):
+        got = {
+            (r.event_id, r.wid)
+            for r in binned_interval_join(
+                events, "ts", intervals, "w_start", "w_end", bin_s
+            ).collect()
+        }
+        assert got == naive, bin_s
+
+
+def test_binned_join_boundary_half_open(spark):
+    """ts == start matches; ts == end does not ([start, end))."""
+    events = spark.createDataFrame(
+        [(1, "2024-01-01T00:05:00"), (2, "2024-01-01T00:10:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("w", "2024-01-01T00:05:00", "2024-01-01T00:10:00")],
+        "wid string, s string, e string",
+    ).select(
+        "wid",
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    got = binned_interval_join(
+        events, "ts", intervals, "w_start", "w_end", 300
+    ).collect()
+    assert [r.event_id for r in got] == [1]
+
+
+def test_high_traffic_registry_shape(spark):
+    fn, _ = REGISTRY["high_traffic_window_rollup"]
+    rows = fn(spark, SF).collect()
+    for r in rows:
+        assert r.window_seconds >= 60 and r.window_seconds % 60 == 0
+        assert r.n_events >= r.n_users >= 1
