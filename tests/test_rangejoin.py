@@ -83,3 +83,39 @@ def test_high_traffic_registry_shape(spark):
     for r in rows:
         assert r.window_seconds >= 60 and r.window_seconds % 60 == 0
         assert r.n_events >= r.n_users >= 1
+
+
+def test_binned_join_stream_static(spark, tmp_path):
+    """Stream-static twin: the binned interval join is an equi join on
+    _bin, so it composes with Structured Streaming (stream events x
+    static windows) with no stateful operator — each micro-batch's
+    output must equal the batch join over the same rows."""
+    import os
+
+    events, intervals = _frames(spark)
+    src = os.path.join(str(tmp_path), "ev_in")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    joined = binned_interval_join(
+        stream, "ts", intervals, "w_start", "w_end", 300
+    ).select("event_id", "wid")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.event_id, r.wid) for r in spark.read.parquet(out).collect()}
+    expected = {
+        (r.event_id, r.wid)
+        for r in binned_interval_join(
+            events, "ts", intervals, "w_start", "w_end", 300
+        ).collect()
+    }
+    assert got == expected and got
