@@ -119,3 +119,60 @@ def test_binned_join_stream_static(spark, tmp_path):
         ).collect()
     }
     assert got == expected and got
+
+
+def test_binned_join_property_random_intervals(spark):
+    """Property: for arbitrary events and arbitrary (possibly
+    overlapping, possibly degenerate) intervals, the binned join equals
+    the naive crossJoin+filter at any bin width."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        ev=st.lists(
+            st.integers(min_value=0, max_value=7200), min_size=1, max_size=30
+        ),
+        iv=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7200),
+                st.integers(min_value=1, max_value=3600),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        bin_s=st.sampled_from([60, 300, 977, 3600]),
+    )
+    def check(ev, iv, bin_s):
+        events = spark.createDataFrame(
+            [(i, 1_700_000_000 + s) for i, s in enumerate(ev)],
+            "event_id long, epoch long",
+        ).select("event_id", F.col("epoch").cast("timestamp").alias("ts"))
+        intervals = spark.createDataFrame(
+            [
+                (i, 1_700_000_000 + s, 1_700_000_000 + s + span)
+                for i, (s, span) in enumerate(iv)
+            ],
+            "wid long, s long, e long",
+        ).select(
+            "wid",
+            F.col("s").cast("timestamp").alias("w_start"),
+            F.col("e").cast("timestamp").alias("w_end"),
+        )
+        naive = {
+            (r.event_id, r.wid)
+            for r in events.crossJoin(intervals)
+            .where(
+                (F.col("ts") >= F.col("w_start"))
+                & (F.col("ts") < F.col("w_end"))
+            )
+            .collect()
+        }
+        got = {
+            (r.event_id, r.wid)
+            for r in binned_interval_join(
+                events, "ts", intervals, "w_start", "w_end", bin_s
+            ).collect()
+        }
+        assert got == naive
+
+    check()
