@@ -105,28 +105,50 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+# Affine universal-hash family for the d CMS rows: one expensive md5
+# per term, d cheap derived functions (same ONE-hash pattern as the
+# minhash family in dedupfns.shingle_bases). (a*h + b) mod P with
+# a, b < P and h reduced mod P first keeps every product < 2^62 —
+# exact in BIGINT on both engines. Pairwise independence of the affine
+# family is exactly the CMS requirement.
+CMS_P = 1_000_000_007
+CMS_A = [1_103_515_245, 214_013, 69_069, 134_775_813]
+CMS_B = [12_345, 2_531_011, 362_437, 1]
+
+
 def cms_bucket(term: Column, row: Column) -> Column:
-    """Row-i bucket of a term: hash60('i:term') mod w. Salting the hash
-    input with the row index gives the d independent hash functions."""
-    return (
-        hash60(F.concat(row.cast("string"), F.lit(":"), term)) % F.lit(CMS_W)
-    ).cast("int")
+    """Row-i bucket of a term: ((A[i] * (hash60(term) mod P) + B[i])
+    mod P) mod w — one md5 per term regardless of d."""
+    hm = hash60(term) % F.lit(CMS_P)
+    a = F.element_at(F.array(*[F.lit(x) for x in CMS_A]), row + 1)
+    b = F.element_at(F.array(*[F.lit(x) for x in CMS_B]), row + 1)
+    return (((a * hm + b) % F.lit(CMS_P)) % F.lit(CMS_W)).cast("int")
+
+
+def _cms_cells(hm: Column) -> Column:
+    """Array of (row, bucket) structs derived from the ONE reduced hash
+    — the md5 is computed once per term, outside this expression."""
+    rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
+
+    def cell(i: Column) -> Column:
+        a = F.element_at(F.array(*[F.lit(x) for x in CMS_A]), i + 1)
+        b = F.element_at(F.array(*[F.lit(x) for x in CMS_B]), i + 1)
+        bucket = (((a * hm + b) % F.lit(CMS_P)) % F.lit(CMS_W)).cast("int")
+        return F.struct(i.cast("int").alias("row"), bucket.alias("bucket"))
+
+    return F.transform(rows, cell)
 
 
 def cms_counters(df: DataFrame, term_col: str) -> DataFrame:
     """d x w counter matrix: each occurrence increments one cell per
-    row. Built as transform+explode (map-side) then ONE groupBy-count
-    over (row, bucket) — output is O(d*w) = 2048 cells, broadcastable."""
-    rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
-    cells = F.transform(
-        rows,
-        lambda i: F.struct(
-            i.cast("int").alias("row"),
-            cms_bucket(F.col(term_col), i).alias("bucket"),
-        ),
-    )
+    row. ONE md5 per occurrence (the d row-buckets are cheap affine
+    derivations — see CMS_A/CMS_B), transform+explode map-side, then a
+    single groupBy-count over (row, bucket) — output is O(d*w) = 2048
+    cells, broadcastable."""
+    hm = (hash60(F.col(term_col)) % F.lit(CMS_P)).alias("_hm")
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(hm)
+        .select(F.explode(_cms_cells(F.col("_hm"))).alias("c"))
         .select("c.row", "c.bucket")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -136,18 +158,9 @@ def cms_counters(df: DataFrame, term_col: str) -> DataFrame:
 def cms_point_estimates(terms: DataFrame, counters: DataFrame, term_col: str) -> DataFrame:
     """min over the d cells a term maps to — the classic CMS point
     query. The counters frame is tiny (d*w cells) and broadcast."""
-    rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
-    probes = terms.select(
-        term_col,
-        F.explode(
-            F.transform(
-                rows,
-                lambda i: F.struct(
-                    i.cast("int").alias("row"),
-                    cms_bucket(F.col(term_col), i).alias("bucket"),
-                ),
-            )
-        ).alias("c"),
+    hm = (hash60(F.col(term_col)) % F.lit(CMS_P)).alias("_hm")
+    probes = terms.select(term_col, hm).select(
+        term_col, F.explode(_cms_cells(F.col("_hm"))).alias("c")
     ).select(term_col, "c.row", "c.bucket")
     return (
         probes.join(F.broadcast(counters), ["row", "bucket"])

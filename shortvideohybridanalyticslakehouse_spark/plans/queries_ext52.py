@@ -122,6 +122,9 @@ def q_hll_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_A_SQL = "[" + ", ".join(str(a) for a in sketches.CMS_A) + "]"
+_CMS_B_SQL = "[" + ", ".join(str(b) for b in sketches.CMS_B) + "]"
+
 _CMS_ORACLE = rf"""
 WITH tok AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
@@ -130,20 +133,27 @@ WITH tok AS (
   SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
 ), top AS (
   SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 20
+), th AS (
+  SELECT term,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+           % {sketches.CMS_P} AS hm
+  FROM tok
 ), cells AS (
   SELECT CAST(u.i AS INT) AS row,
-         CAST(CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || term),
-                                   1, 15)) AS BIGINT)
-              % {sketches.CMS_W} AS INT) AS bucket
-  FROM tok, unnest(range({sketches.CMS_D})) AS u(i)
+         CAST((({_CMS_A_SQL}[CAST(u.i AS INT) + 1] * hm
+                + {_CMS_B_SQL}[CAST(u.i AS INT) + 1])
+               % {sketches.CMS_P}) % {sketches.CMS_W} AS INT) AS bucket
+  FROM th, unnest(range({sketches.CMS_D})) AS u(i)
 ), counters AS (
   SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
   FROM cells GROUP BY 1, 2
 ), probes AS (
   SELECT t.term, t.c, CAST(u.i AS INT) AS row,
-         CAST(CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || t.term),
-                                   1, 15)) AS BIGINT)
-              % {sketches.CMS_W} AS INT) AS bucket
+         CAST((({_CMS_A_SQL}[CAST(u.i AS INT) + 1]
+                * (CAST(('0x' || substr(md5(t.term), 1, 15)) AS BIGINT)
+                   % {sketches.CMS_P})
+                + {_CMS_B_SQL}[CAST(u.i AS INT) + 1])
+               % {sketches.CMS_P}) % {sketches.CMS_W} AS INT) AS bucket
   FROM top t, unnest(range({sketches.CMS_D})) AS u(i)
 )
 SELECT p.term AS term, p.c AS true_count,
