@@ -98,6 +98,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext54,
         queries_ext55,
         queries_ext56,
+        queries_ext57,
     )
 
     return REGISTRY
