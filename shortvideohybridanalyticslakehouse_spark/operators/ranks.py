@@ -231,3 +231,88 @@ def ntile_from_rank(rn: Column, n: Column, tiles: int) -> Column:
         .otherwise(r + ((rn - big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
         .cast("int")
     )
+
+
+def with_distributed_prefix_max(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "_max_before",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append the EXCLUSIVE prefix max of ``value_col`` in the total order
+    ``order_cols`` (per ``part_cols`` group) — the distributed form of
+    ``max(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``
+    — with no single-partition window. NULL where no strictly-earlier row
+    exists. ``order_cols`` must be a total order within each group (ties
+    would make "before" ambiguous); max reassociates losslessly, so the
+    two-phase split is exact for every type.
+
+    Same bucketed shape as with_distributed_prefix_sum: per-bucket maxes
+    give bucket offsets (global case: broadcast O(buckets^2) range
+    self-join, no WindowExec), the within-bucket exclusive running max is
+    an ordinary per-bucket window, and the row value is
+    greatest(bucket offset, within-bucket running max) with NULL-skipping
+    coalesce semantics.
+    """
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    v = order_cols[0]
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.expr(
+            f"approx_percentile({v}, array({', '.join(repr(p) for p in probs)}))"
+        ).alias("cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+    bucket = (
+        F.size(
+            F.filter(F.array(*[F.lit(c) for c in cuts]), lambda c: F.col(v) > c)
+        ).cast("int")
+        if cuts
+        else F.lit(0)
+    )
+    bucketed = df.withColumn("_bucket", bucket)
+
+    maxes = bucketed.groupBy(
+        *[F.col(c) for c in part_cols], F.col("_bucket")
+    ).agg(F.max(value_col).alias("_bmax"))
+    if part_cols:
+        w_off = (
+            Window.partitionBy(*part_cols)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = maxes.select(
+            *part_cols, "_bucket", F.max("_bmax").over(w_off).alias("_off")
+        )
+    else:
+        prev = maxes.select(
+            F.col("_bucket").alias("_pb"), F.col("_bmax").alias("_pm")
+        )
+        offsets = (
+            maxes.join(
+                F.broadcast(prev), F.col("_pb") < F.col("_bucket"), "left"
+            )
+            .groupBy("_bucket")
+            .agg(F.max("_pm").alias("_off"))
+            .select("_bucket", "_off")
+        )
+
+    w_run = (
+        Window.partitionBy(*[F.col(c) for c in part_cols], F.col("_bucket"))
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = bucketed.withColumn("_brun", F.max(value_col).over(w_run))
+    out = running.join(
+        F.broadcast(offsets), [*part_cols, "_bucket"], "inner"
+    ).withColumn(
+        # greatest() skips NULLs and returns NULL only when both are —
+        # exactly the exclusive-prefix-max-over-empty semantics needed.
+        out_col,
+        F.greatest(F.col("_off"), F.col("_brun")),
+    )
+    return out.drop("_bucket", "_brun", "_off")

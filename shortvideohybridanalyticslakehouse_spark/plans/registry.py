@@ -99,6 +99,8 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext55,
         queries_ext56,
         queries_ext57,
+        queries_ext58,
+        queries_ext59,
     )
 
     return REGISTRY

@@ -1,0 +1,208 @@
+"""Sweep-line / Pareto-frontier / EWMA / weighted-median operators:
+planted-truth and property tests beyond the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.operators.ranks import (
+    with_distributed_prefix_max,
+)
+from shortvideohybridanalyticslakehouse_spark.plans import (  # noqa: F401
+    queries_ext58,
+    queries_ext59,
+)
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# with_distributed_prefix_max vs the single-partition window truth
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_max_matches_window_global(spark):
+    random.seed(7)
+    rows = [(i, random.randint(-50, 50)) for i in range(500)]
+    random.shuffle(rows)
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = with_distributed_prefix_max(df, [], ["k"], "v", n_buckets=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select("k", F.max("v").over(w).alias("pm"))
+    j = got.select("k", "_max_before").join(want, "k")
+    bad = j.filter(
+        ~(
+            (F.col("_max_before") == F.col("pm"))
+            | (F.col("_max_before").isNull() & F.col("pm").isNull())
+        )
+    )
+    assert bad.count() == 0
+    # exactly one row (the global first in order) has a NULL prefix
+    assert got.filter(F.col("_max_before").isNull()).count() == 1
+
+
+def test_prefix_max_matches_window_grouped(spark):
+    random.seed(8)
+    rows = [
+        (f"g{i % 5}", i, random.randint(0, 1000)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    got = with_distributed_prefix_max(df, ["g"], ["k"], "v", n_buckets=4)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.select("g", "k", F.max("v").over(w).alias("pm"))
+    j = got.select("g", "k", "_max_before").join(want, ["g", "k"])
+    bad = j.filter(
+        ~(
+            (F.col("_max_before") == F.col("pm"))
+            | (F.col("_max_before").isNull() & F.col("pm").isNull())
+        )
+    )
+    assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Sweep line: planted interval set with a known peak
+# ---------------------------------------------------------------------------
+
+
+def test_sweep_line_planted_peak(spark, tmp_path):
+    # 3 users, sessions engineered via >30min gaps:
+    #  u1: events 00:00..00:10  -> session [00:00, 00:40)
+    #  u2: events 00:20         -> session [00:20, 00:50)
+    #  u3: events 00:45         -> session [00:45, 01:15)
+    # concurrency: 1 @00:00, 2 @00:20, (u1 ends 00:40), 2 @00:45
+    # (u2 still active until 00:50) -> peak 2 first reached at 00:20.
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=20), 2, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=45), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    reg = load_all()
+    out = reg["max_concurrent_sessions"][0](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.peak_concurrency == 2
+    assert r.peak_ts == "2024-01-01 00:20:00"
+    assert r.n_sessions == 3
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier: prefix-max skyline == brute-force dominance
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    random.seed(21)
+    pts = [(random.randint(1, 40), random.randint(1, 40)) for _ in range(300)]
+    # collapse to max size per price, as the query does
+    best: dict[int, int] = {}
+    for p, s in pts:
+        best[p] = max(best.get(p, 0), s)
+    frontier = {
+        (p, s)
+        for p, s in best.items()
+        if not any(q < p and t >= s for q, t in best.items())
+    }
+    df = spark.createDataFrame(pts, "price int, size int")
+    g = df.groupBy("price").agg(F.max("size").alias("size"))
+    flagged = with_distributed_prefix_max(g, [], ["price"], "size", n_buckets=4)
+    got = {
+        (r.price, r.size)
+        for r in flagged.filter(
+            F.col("_max_before").isNull()
+            | (F.col("size") > F.col("_max_before"))
+        ).collect()
+    }
+    assert got == frontier
+    # frontier sizes strictly increase with price
+    ordered = sorted(got)
+    sizes = [s for _, s in ordered]
+    assert sizes == sorted(set(sizes))
+
+
+# ---------------------------------------------------------------------------
+# EWMA: fold exactness on a planted series
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_planted_series(spark, tmp_path):
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # minute t gets t+1 events of type 'click' -> series [1,2,3,4]
+    rows = []
+    eid = 0
+    for t in range(4):
+        for _ in range(t + 1):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=t), 7, "click", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    reg = load_all()
+    got = reg["event_type_ewma"][0](spark, d).collect()[0]
+    want = 1.0
+    for x in [2.0, 3.0, 4.0]:
+        want = want * 0.875 + x * 0.125
+    assert got.ewma_last == want  # bit-exact, not approx
+    assert got.n_minutes == 4 and got.total_count == 10
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: threshold definition on a planted catalog
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_planted(spark):
+    # brand A: prices 10(w1), 20(w1), 30(w8) -> total 10, half 5 -> 30
+    # brand B: prices 5(w2), 6(w2)           -> total 4, 2*cum(5)=4 >= 4 -> 5
+    rows = [
+        ("A", 10.0, 1),
+        ("A", 20.0, 1),
+        ("A", 30.0, 8),
+        ("B", 5.0, 2),
+        ("B", 6.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "p_brand string, p_retailprice double, p_size int")
+    import shortvideohybridanalyticslakehouse_spark.plans.queries_ext59 as m
+
+    g = df.groupBy("p_brand", F.col("p_retailprice").alias("price")).agg(
+        F.sum("p_size").cast("bigint").alias("w")
+    )
+    w_ord = (
+        Window.partitionBy("p_brand")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.withColumn("cum", F.sum("w").over(w_ord)).withColumn(
+        "total", F.sum("w").over(Window.partitionBy("p_brand"))
+    )
+    r = (
+        c.filter(2 * F.col("cum") >= F.col("total"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("p_brand").orderBy("price")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    got = {x.p_brand: x.price for x in r.collect()}
+    assert got == {"A": 30.0, "B": 5.0}
+    assert m is not None
