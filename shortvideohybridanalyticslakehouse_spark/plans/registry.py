@@ -101,6 +101,8 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext57,
         queries_ext58,
         queries_ext59,
+        queries_ext60,
+        queries_ext61,
     )
 
     return REGISTRY

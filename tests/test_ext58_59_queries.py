@@ -206,3 +206,57 @@ def test_weighted_median_planted(spark):
     got = {x.p_brand: x.price for x in r.collect()}
     assert got == {"A": 30.0, "B": 5.0}
     assert m is not None
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (queries_ext61): planted graph vs brute-force peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peel_planted_graph(spark):
+    # triangle {1,2,3} (2-core) + pendant chain 3-4-5 (peels in 2 rounds)
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    ).localCheckpoint(eager=True)
+
+    # brute-force reference peel
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive_ref = set(adj)
+    ref_stats = []
+    for rnd in range(1, 5):
+        nxt = {
+            n
+            for n in alive_ref
+            if len([m for m in adj[n] if m in alive_ref]) >= 2
+        }
+        ref_stats.append((rnd, len(nxt), len(alive_ref) - len(nxt)))
+        alive_ref = nxt
+
+    from pyspark.sql import functions as FF
+
+    alive = (
+        edges.select("src").distinct().withColumnRenamed("src", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    prev_n = alive.count()
+    got = []
+    for rnd in range(1, 5):
+        nxt = (
+            edges.join(alive.withColumnRenamed("doc_id", "src"), "src")
+            .join(alive.select(FF.col("doc_id").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(FF.count(FF.lit(1)).alias("deg"))
+            .filter(FF.col("deg") >= 2)
+            .select(FF.col("src").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        surv = nxt.count()
+        got.append((rnd, surv, prev_n - surv))
+        prev_n = surv
+        alive = nxt
+    assert got == ref_stats
+    assert got[-1][1] == 3 and got[-1][2] == 0  # converged on the triangle
