@@ -256,3 +256,73 @@ def abandoned_session_detect(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "event_type string, n_minutes bigint, total_count bigint, ewma_last double"
+)
+EWMA_STATE_SCHEMA = (
+    "ewma double, n_minutes bigint, total bigint, last_minute bigint"
+)
+
+
+def ewma_incremental(minute_counts: DataFrame, alpha: float = 0.125) -> DataFrame:
+    """Streaming twin of the event_type_ewma batch fold (queries_ext59):
+    per-key EWMA maintained as ONE double of state across micro-batches.
+
+    Contract: input rows are per-(event_type, minute) counts with each
+    minute delivered exactly once (upstream: an append-mode watermarked
+    window, or the replay fixture in tests). Within a batch rows fold in
+    minute order; rows at or before the state's high-water minute are
+    dropped (replay/exactly-once guard). Because the fold applies the
+    identical `acc*(1-a) + x*a` IEEE ops in the same order as the batch
+    query, the streamed EWMA is BIT-IDENTICAL to the batch result on the
+    same closed set — asserted by tests/test_stream_ewma_twin.py.
+
+    Scale: state is 4 scalars per event_type key, sharded by the groupBy
+    hash across the state store; each batch's work is O(new minutes).
+    """
+    a = float(alpha)
+    b = 1.0 - a
+
+    def fn(
+        key: tuple, pdf_iter: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        if state.exists:
+            ewma, n, total, last = state.get
+            ewma, n, total, last = float(ewma), int(n), int(total), int(last)
+            started = True
+        else:
+            ewma, n, total, last = 0.0, 0, 0, -1
+            started = False
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("minute_epoch")
+        for r in rows.itertuples(index=False):
+            me, x = int(r.minute_epoch), int(r.x)
+            if me <= last:
+                continue  # replayed minute: already folded
+            if not started:
+                ewma = float(x)
+                started = True
+            else:
+                ewma = ewma * b + float(x) * a
+            n += 1
+            total += x
+            last = me
+        state.update((ewma, n, total, last))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_minutes": [n],
+                "total_count": [total],
+                "ewma_last": [ewma],
+            }
+        )
+
+    return minute_counts.groupBy("event_type").applyInPandasWithState(
+        fn,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
