@@ -508,12 +508,21 @@ def decode_wav(payload: bytes):
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16 or channels < 1:
-        raise ValueError("unsupported WAV variant (need 16-bit PCM)")
-    n = len(data) // (2 * channels)
-    frames = np.frombuffer(data[: n * 2 * channels], dtype="<i2").reshape(
-        n, channels
-    )
+    if channels < 1:
+        raise ValueError("unsupported WAV variant (bad channel count)")
+    if audio_format == 1 and bits == 16:
+        n = len(data) // (2 * channels)
+        frames = np.frombuffer(data[: n * 2 * channels], dtype="<i2").reshape(
+            n, channels
+        )
+    elif audio_format == 7 and bits == 8:
+        # WAVE_FORMAT_MULAW: expand each companded byte to its quantized
+        # int16 sample (real G.711 decode, mulaw_expand below)
+        n = len(data) // channels
+        codes = np.frombuffer(data[: n * channels], dtype=np.uint8)
+        frames = mulaw_expand(codes).reshape(n, channels)
+    else:
+        raise ValueError("unsupported WAV variant (need 16-bit PCM or mu-law)")
     return sample_rate, channels, frames
 
 
@@ -2073,3 +2082,167 @@ def jpeg_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, JPEG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law: a REAL compressed-audio codec (logarithmic companding)
+# ---------------------------------------------------------------------------
+
+_MU_BIAS = 0x84  # 132
+_MU_CLIP = 32635
+
+
+def mulaw_compress(samples):
+    """Vectorized G.711 mu-law encoder: int16 PCM -> uint8 codes.
+
+    Public-spec algorithm (ITU-T G.711): sign bit from the sample, clip
+    magnitude at 32635, add bias 0x84, segment (exponent) = position of
+    the magnitude's top bit minus 7, 4-bit mantissa below it, then
+    one's-complement the packed byte.
+    """
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _MU_CLIP) + _MU_BIAS
+    thresholds = 256 << np.arange(7, dtype=np.int64)  # 256 .. 16384
+    e = (mag[:, None] >= thresholds[None, :]).sum(axis=1)
+    mantissa = (mag >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(codes):
+    """Vectorized G.711 mu-law decoder: uint8 codes -> int16 PCM (the
+    quantized magnitudes the encoder's segment/mantissa can represent)."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + _MU_BIAS) << e) - _MU_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(sample_rate: int, channels: int, samples) -> bytes:
+    """RIFF/WAVE container holding G.711 mu-law (audio_format=7, 8 bits
+    per sample) — the standard telephony WAV variant. ``samples`` is the
+    interleaved int16 stream; it is companded here."""
+    import numpy as np
+
+    codes = mulaw_compress(np.asarray(samples, dtype=np.int64)).tobytes()
+    block_align = channels  # 1 byte per sample
+    byte_rate = sample_rate * block_align
+
+    def _le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    fmt = (
+        b"fmt "
+        + _le(16, 4)
+        + _le(7, 2)  # WAVE_FORMAT_MULAW
+        + _le(channels, 2)
+        + _le(sample_rate, 4)
+        + _le(byte_rate, 4)
+        + _le(block_align, 2)
+        + _le(8, 2)  # bits/sample
+    )
+    data = b"data" + _le(len(codes), 4) + codes + (
+        b"\x00" if len(codes) % 2 else b""
+    )
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + _le(len(body), 4) + body
+
+
+def synthetic_mulaw_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mu-law fixture generator: same closed-form contract
+    as synthetic_wav_payloads but companded through the REAL encoder —
+
+        channels     = 1 + id % 2
+        sample_rate  = 8000 + (id % 3) * 4000
+        n_frames     = 300 + id % 201
+        interleaved sample i = ((id*53 + i*29) % 8001) - 4000
+
+    (the wider +-4000 range exercises exponent segments 0..5). The SQL
+    oracle replays the ENCODE+DECODE quantization in closed form
+    (clip/bias/segment/mantissa as integer CASE + bit ops), so a single
+    wrong mantissa bit in either companding direction shifts the
+    amplitude sums and fails the hash. Every third id carries the same
+    odd-size LIST chunk splice as the PCM fixtures.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            ids = pdf[id_col].astype("int64")
+            for d in ids:
+                d = int(d)
+                channels = 1 + d % 2
+                rate = 8000 + (d % 3) * 4000
+                n_frames = 300 + d % 201
+                i = np.arange(n_frames * channels, dtype=np.int64)
+                samples = ((d * 53 + i * 29) % 8001) - 4000
+                wav = encode_wav_mulaw(rate, channels, samples)
+                if d % 3 == 0:
+                    info = b"INFOICMT" + (7).to_bytes(4, "little") + b"fixture"
+                    lst = b"LIST" + len(info).to_bytes(4, "little") + info + b"\x00"
+                    body = wav[12:]
+                    wav = (
+                        b"RIFF"
+                        + (4 + len(lst) + len(body)).to_bytes(4, "little")
+                        + b"WAVE"
+                        + lst
+                        + body
+                    )
+                payloads.append(wav)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+WAV_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("i", IntegerType()),
+        StructField("dec", IntegerType()),
+    ]
+)
+
+
+def wav_decoded_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode each decoded WAV payload to (doc_id, interleaved sample
+    index, decoded int16 value) rows — the per-sample view distortion
+    audits join against. One Arrow batch in, one long frame out; the
+    explode happens in numpy, not per-row Python."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, vals = [], [], []
+            for d, p in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                _, _, frames = decode_wav(bytes(p))
+                flat = frames.ravel().astype(np.int64)
+                ids.append(np.full(flat.size, int(d), dtype=np.int64))
+                idxs.append(np.arange(flat.size, dtype=np.int32))
+                vals.append(flat.astype(np.int32))
+            if not ids:
+                yield pd.DataFrame({"doc_id": [], "i": [], "dec": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "i": np.concatenate(idxs),
+                    "dec": np.concatenate(vals),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, WAV_SAMPLES_SCHEMA)

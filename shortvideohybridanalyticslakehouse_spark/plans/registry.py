@@ -103,6 +103,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext59,
         queries_ext60,
         queries_ext61,
+        queries_ext62,
     )
 
     return REGISTRY

@@ -1,0 +1,77 @@
+"""G.711 mu-law codec: code-space round trips, quantization bounds, and
+container integration (audio_format=7 WAV through the shared decoder)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from shortvideohybridanalyticslakehouse_spark.functions import multimodal as M
+
+
+def test_all_codes_roundtrip_except_negative_zero():
+    codes = np.arange(256, dtype=np.uint8)
+    pcm = M.mulaw_expand(codes)
+    back = M.mulaw_compress(pcm)
+    bad = codes[back != codes]
+    # 0x7F is negative zero: expands to 0, which re-encodes as +0 (0xFF) —
+    # the one canonical alias in the G.711 code space
+    assert bad.tolist() == [0x7F]
+    assert M.mulaw_expand(np.array([0x7F], dtype=np.uint8))[0] == 0
+
+
+def test_quantization_error_bounded_by_segment_step():
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    dec = M.mulaw_expand(M.mulaw_compress(xs)).astype(np.int64)
+    err = np.abs(dec - xs)
+    # per-segment step = 2^(e+3); error <= step/2 + ... below clip; above
+    # the clip point (32635) error grows to the clamp distance
+    inside = np.abs(xs) <= 32635
+    assert err[inside].max() <= 1024  # top segment step 2^10, half-step + bias slack
+    assert err.max() <= 32768 - 32124  # clip region
+    # monotonic code ordering: decoded values are non-decreasing in input
+    assert (np.diff(dec) >= 0).all()
+
+
+def test_mulaw_wav_container_roundtrip():
+    samples = np.array([0, 100, -100, 4000, -4000, 32767, -32768, 1])
+    wav = M.encode_wav_mulaw(8000, 2, samples)
+    rate, ch, frames = M.decode_wav(wav)
+    assert (rate, ch) == (8000, 2)
+    want = M.mulaw_expand(M.mulaw_compress(samples))
+    assert frames.ravel().tolist() == want.tolist()
+
+
+def test_mulaw_wav_with_spliced_list_chunk():
+    samples = np.arange(-500, 500, dtype=np.int64)
+    wav = M.encode_wav_mulaw(12000, 1, samples)
+    info = b"INFOICMT" + (7).to_bytes(4, "little") + b"fixture"
+    lst = b"LIST" + len(info).to_bytes(4, "little") + info + b"\x00"
+    body = wav[12:]
+    spliced = (
+        b"RIFF"
+        + (4 + len(lst) + len(body)).to_bytes(4, "little")
+        + b"WAVE"
+        + lst
+        + body
+    )
+    rate, ch, frames = M.decode_wav(spliced)
+    assert (rate, ch) == (12000, 1)
+    assert frames.shape == (1000, 1)
+
+
+def test_decoded_samples_frame(spark):
+    df = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    payloads = M.synthetic_mulaw_payloads(df, "doc_id")
+    rows = M.wav_decoded_samples(payloads, "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.i, r.dec))
+    for d in (5, 6):
+        n = (300 + d % 201) * (1 + d % 2)
+        series = sorted(by_doc[d])
+        assert len(series) == n
+        i = np.arange(n, dtype=np.int64)
+        orig = ((d * 53 + i * 29) % 8001) - 4000
+        want = M.mulaw_expand(M.mulaw_compress(orig))
+        got = np.array([v for _, v in series])
+        assert (got == want).all()
