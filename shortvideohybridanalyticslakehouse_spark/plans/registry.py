@@ -104,6 +104,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext60,
         queries_ext61,
         queries_ext62,
+        queries_ext63,
     )
 
     return REGISTRY

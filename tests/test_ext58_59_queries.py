@@ -260,3 +260,68 @@ def test_kcore_peel_planted_graph(spark):
         alive = nxt
     assert got == ref_stats
     assert got[-1][1] == 3 and got[-1][2] == 0  # converged on the triangle
+
+
+# ---------------------------------------------------------------------------
+# Record linkage + Kaplan-Meier (queries_ext63): planted truths
+# ---------------------------------------------------------------------------
+
+
+def test_linkage_best_match_planted(spark, tmp_path):
+    # customer 1 ties with suppliers 10 & 107 on evidence; 107 shares the
+    # %97 residue (107%97=10? no: 107%97=10 vs custkey 1%97=1) — craft:
+    # supplier 98: 98%97=1 matches cust 1 residue (w2); names both end "01"
+    # (w3) -> score 5. supplier 10: suffix only (w3) -> below threshold 4.
+    cust = [(1, "Customer#000000001", 7, 100.0, "BUILDING")]
+    supp = [
+        (98, "Supplier#000000901", 7, 5000.0),  # suffix 01 (w3) + residue (w2) = 5
+        (10, "Supplier#000000201", 7, 9000.0),  # suffix 01 only = 3 < 4
+        (50, "Supplier#000000777", 7, 120.0),   # balance only = 2 < 4
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).write.parquet(d + "/customer.parquet")
+    spark.createDataFrame(
+        supp, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).write.parquet(d + "/supplier.parquet")
+    reg = load_all()
+    rows = reg["customer_supplier_linkage"][0](spark, d).collect()
+    assert len(rows) == 1
+    assert (rows[0].c_custkey, rows[0].linked_suppkey, rows[0].score) == (1, 98, 5)
+
+
+def test_survival_curve_planted(spark, tmp_path):
+    import datetime as dt2
+
+    base = dt2.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(uid, day, etype):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(days=day), uid, etype, 1.0, "{}")
+        )
+
+    # 4 users sign up on day 0; u1 purchases day 1, u2 day 2,
+    # u3 censored at day 2 (last event), u4 purchases day 2
+    for u in (1, 2, 3, 4):
+        add(u, 0, "signup")
+    add(1, 1, "purchase")
+    add(2, 2, "purchase")
+    add(3, 2, "view")
+    add(4, 2, "purchase")
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(d + "/events.parquet")
+    reg = load_all()
+    got = {r.t: (r.d, r.n_risk, r.surv) for r in
+           reg["signup_purchase_survival"][0](spark, d).collect()}
+    # day1: risk 4, 1 event -> S = 0.75
+    # day2: risk 3, 2 events + 1 censored -> S = 0.75 * (1/3) = 0.25
+    assert got[1] == (1, 4, 0.75)
+    assert got[2][0] == 2 and got[2][1] == 3
+    assert abs(got[2][2] - 0.25) < 1e-9
