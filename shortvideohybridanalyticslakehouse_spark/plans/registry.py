@@ -105,6 +105,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext61,
         queries_ext62,
         queries_ext63,
+        queries_ext64,
     )
 
     return REGISTRY

@@ -325,3 +325,65 @@ def test_survival_curve_planted(spark, tmp_path):
     assert got[1] == (1, 4, 0.75)
     assert got[2][0] == 2 and got[2][1] == 3
     assert abs(got[2][2] - 0.25) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# A/B z-test + chi-square (queries_ext64): planted significance cases
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(d + "/events.parquet")
+    return d
+
+
+def test_ab_test_detects_planted_lift(spark, tmp_path):
+    base = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    # 100 even users (variant 0): 60 convert; 100 odd users: 20 convert
+    for u in range(200):
+        eid += 1
+        rows.append((eid, base, u, "view", 1.0, "{}"))
+        converts = (u % 2 == 0 and u < 120) or (u % 2 == 1 and u < 40)
+        if converts:
+            eid += 1
+            rows.append((eid, base, u, "purchase", 1.0, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    r = reg["ab_test_proportion_ztest"][0](spark, d).collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (100, 60, 100, 20)
+    # hand z^2: diff_cross=(60*100-20*100)=4000; num=4000^2*200
+    # den=100*100*80*120; z2 = 3.2e9/9.6e7 = 33.33...
+    assert r.z2_micro == 33333333
+    assert r.significant_95 is True
+
+
+def test_ab_test_null_on_degenerate(spark, tmp_path):
+    base = dt.datetime(2024, 6, 1)
+    rows = [(i + 1, base, i, "view", 1.0, "{}") for i in range(10)]
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    r = reg["ab_test_proportion_ztest"][0](spark, d).collect()[0]
+    assert r.x_a == 0 and r.x_b == 0
+    assert r.z2_micro is None and r.significant_95 is None
+
+
+def test_chi2_zero_under_perfect_independence(spark, tmp_path):
+    base = dt.datetime(2024, 6, 2)  # a Sunday
+    rows, eid = [], 0
+    # every (type, day) cell gets the same count -> chi2 == 0 exactly
+    for day in range(7):
+        for t in ("view", "click"):
+            for k in range(3):
+                eid += 1
+                rows.append(
+                    (eid, base + dt.timedelta(days=day), 1, t, 1.0, "{}")
+                )
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    r = reg["event_type_dow_chi2"][0](spark, d).collect()[0]
+    assert r.n_cells == 14 and r.dof == 6
+    assert r.chi2_micro == 0
