@@ -106,6 +106,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext62,
         queries_ext63,
         queries_ext64,
+        queries_ext65,
     )
 
     return REGISTRY

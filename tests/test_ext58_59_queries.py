@@ -387,3 +387,53 @@ def test_chi2_zero_under_perfect_independence(spark, tmp_path):
     r = reg["event_type_dow_chi2"][0](spark, d).collect()[0]
     assert r.n_cells == 14 and r.dof == 6
     assert r.chi2_micro == 0
+
+
+# ---------------------------------------------------------------------------
+# Attribution credit conservation + basket lift (queries_ext65)
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_credit_sums_to_1e6_per_conversion(spark, tmp_path):
+    base = dt.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    # user 1: k=5 clicks then purchase; user 2: k=1; user 3: k=2;
+    # user 4: k=3 (remainder rule: middle gets all 200000)
+    for u, k in [(1, 5), (2, 1), (3, 2), (4, 3)]:
+        for i in range(k):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=i), u, "click", 1.0, "{}")
+            )
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(hours=23), u, "purchase", 1.0, "{}")
+        )
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    out = reg["position_attribution_credit"][0](spark, d).collect()
+    total = sum(r.credit_micro_sum for r in out)
+    assert total == 4 * 1_000_000  # exact conservation per conversion
+    assert sum(r.n_touches for r in out) == 5 + 1 + 2 + 3
+    # k=5: middles get floor(200000/3)=66666; last middle 66668
+    # spot-check through a direct rebuild at k=5: 400000*2 + 66666*2 + 66668
+    assert 400000 * 2 + 66666 * 2 + 66668 == 1_000_000
+
+
+def test_basket_lift_planted_pair(spark, tmp_path):
+    # parts 10 & 20 co-occur in 3 of 4 orders; part 30 alone in one
+    rows = []
+    for ok, parts in [(1, [10, 20]), (2, [10, 20]), (3, [10, 20]), (4, [30])]:
+        for p in parts:
+            rows.append((ok, p, 1.0))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    ).write.parquet(d + "/lineitem.parquet")
+    reg = load_all()
+    out = reg["market_basket_lift"][0](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (10, 20, 3, 3, 3)
+    # lift = (3 * 4) / (3*3) = 1.3333 -> 1333333 micro
+    assert r.lift_micro == 1333333
