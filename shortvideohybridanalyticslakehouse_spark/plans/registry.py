@@ -107,6 +107,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext63,
         queries_ext64,
         queries_ext65,
+        queries_ext66,
     )
 
     return REGISTRY

@@ -437,3 +437,67 @@ def test_basket_lift_planted_pair(spark, tmp_path):
     assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (10, 20, 3, 3, 3)
     # lift = (3 * 4) / (3*3) = 1.3333 -> 1333333 micro
     assert r.lift_micro == 1333333
+
+
+# ---------------------------------------------------------------------------
+# RFM / Gini / path trigrams (queries_ext66)
+# ---------------------------------------------------------------------------
+
+
+def test_gini_planted_two_users(spark, tmp_path):
+    base = dt.datetime(2024, 8, 1)
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base, 2, "purchase", 1.0, "{}"),  # 100 cents
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    r = reg["user_spend_gini"][0](spark, d).collect()[0]
+    # spends [0, 100]: num = 2*(1*0 + 2*100) - 3*100 = 100; den = 200
+    assert (r.n_users, r.total_cents, r.gini_micro) == (2, 100, 500000)
+
+
+def test_rfm_segment_conservation(spark, tmp_path):
+    base = dt.datetime(2024, 8, 1)
+    rows, eid = [], 0
+    for u in range(25):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(days=u % 7), u, "view", 1.0, "{}"))
+        for _ in range(u % 4):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=u % 5), u, "purchase",
+                 float(u + 1), "{}")
+            )
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    out = reg["rfm_segments"][0](spark, d).collect()
+    assert sum(r.n_users for r in out) == 25
+    total_cents = sum(r.segment_cents for r in out)
+    want_cents = sum((u % 4) * (u + 1) * 100 for u in range(25))
+    assert total_cents == want_cents
+    for r in out:
+        assert 1 <= r.r <= 5 and 1 <= r.f <= 5 and 1 <= r.m <= 5
+
+
+def test_path_trigrams_planted(spark, tmp_path):
+    base = dt.datetime(2024, 8, 1)
+    rows, eid = [], 0
+    # 3 users open view>click>purchase; 1 user view>view>view; 1 user only 2
+    for u, path in [
+        (1, ["view", "click", "purchase"]),
+        (2, ["view", "click", "purchase"]),
+        (3, ["view", "click", "purchase"]),
+        (4, ["view", "view", "view"]),
+        (5, ["view", "click"]),
+    ]:
+        for i, t in enumerate(path):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=i), u, t, 1.0, "{}")
+            )
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    out = {r.path: r.n_users for r in
+           reg["event_path_trigrams"][0](spark, d).collect()}
+    assert out == {"view>click>purchase": 3, "view>view>view": 1}
