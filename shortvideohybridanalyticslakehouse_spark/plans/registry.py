@@ -108,6 +108,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext64,
         queries_ext65,
         queries_ext66,
+        queries_ext67,
     )
 
     return REGISTRY

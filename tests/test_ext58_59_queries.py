@@ -501,3 +501,63 @@ def test_path_trigrams_planted(spark, tmp_path):
     out = {r.path: r.n_users for r in
            reg["event_path_trigrams"][0](spark, d).collect()}
     assert out == {"view>click>purchase": 3, "view>view>view": 1}
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest + TV drift (queries_ext67)
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_backtest_planted(spark, tmp_path):
+    base = dt.datetime(2024, 9, 1, 0, 0, 0)
+    rows, eid = [], 0
+    # train days 0,1: hour 10 has 2 then 4 clicks (mean 3); test day 2:
+    # hour 10 has 5 clicks -> |err| = 2 -> mae contribution 2e6
+    for day, n in [(0, 2), (1, 4), (2, 5)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=day, hours=10), 1, "click",
+                 1.0, "{}")
+            )
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    out = reg["hourly_forecast_backtest"][0](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.event_type == "click"
+    assert (r.n_hours_scored, r.actual_events) == (1, 5)
+    # model: s=6 over n_hours=2 -> mean 3; err_num=|6-5*2|=4; 4/2=2 -> 2e6
+    assert r.mae_micro_sum == 2_000_000
+
+
+def test_tv_drift_extremes(spark, tmp_path):
+    base = dt.datetime(2024, 9, 1)
+    # first half all value=0.0 (bin 0), second half all value=10.0 (bin 9)
+    rows = []
+    for i in range(4):
+        rows.append((i + 1, base + dt.timedelta(hours=i), 1, "view", 0.0, "{}"))
+    for i in range(4):
+        rows.append(
+            (i + 5, base + dt.timedelta(hours=100 + i), 1, "view", 10.0, "{}")
+        )
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    r = reg["value_distribution_drift_tv"][0](spark, d).collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.tv_micro == 1_000_000  # total separation
+
+    # identical halves -> zero drift
+    rows2 = []
+    for i in range(4):
+        rows2.append((i + 1, base + dt.timedelta(hours=i), 1, "view",
+                      float(i), "{}"))
+    for i in range(4):
+        rows2.append((i + 5, base + dt.timedelta(hours=100 + i), 1, "view",
+                      float(i), "{}"))
+    d2 = str(tmp_path / "sf2")
+    spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(d2 + "/events.parquet")
+    r2 = reg["value_distribution_drift_tv"][0](spark, d2).collect()[0]
+    assert r2.tv_micro == 0
