@@ -109,6 +109,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext65,
         queries_ext66,
         queries_ext67,
+        queries_ext68,
     )
 
     return REGISTRY

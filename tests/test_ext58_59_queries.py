@@ -561,3 +561,27 @@ def test_tv_drift_extremes(spark, tmp_path):
     ).write.parquet(d2 + "/events.parquet")
     r2 = reg["value_distribution_drift_tv"][0](spark, d2).collect()[0]
     assert r2.tv_micro == 0
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (queries_ext68): estimator quality + exactness invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_exact_and_calibrated(spark, tmp_path):
+    base = dt.datetime(2024, 10, 1)
+    rows, eid = [], 0
+    # frequencies: user u appears u+1 times, u in 0..19
+    # F2 = sum (u+1)^2 = 1^2+..+20^2 = 2870
+    for u in range(20):
+        for _ in range(u + 1):
+            eid += 1
+            rows.append((eid, base, u, "view", 1.0, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    r = reg["f2_join_size_estimate"][0](spark, d).collect()[0]
+    assert r.f2_exact == 2870
+    # AMS expectation is F2 with variance <= 2*F2^2 per estimator; the
+    # 8-way lower median at this size stays within a loose 4x band
+    assert 0 < r.f2_estimate < 4 * 2870
+    assert r.rel_err_micro == abs(r.f2_estimate - 2870) * 1_000_000 // 2870
