@@ -110,6 +110,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext66,
         queries_ext67,
         queries_ext68,
+        queries_ext69,
     )
 
     return REGISTRY

@@ -585,3 +585,27 @@ def test_ams_f2_exact_and_calibrated(spark, tmp_path):
     # 8-way lower median at this size stays within a loose 4x band
     assert 0 < r.f2_estimate < 4 * 2870
     assert r.rel_err_micro == abs(r.f2_estimate - 2870) * 1_000_000 // 2870
+
+
+def test_lorenz_deciles_monotone_and_conserved(spark, tmp_path):
+    base = dt.datetime(2024, 11, 1)
+    rows, eid = [], 0
+    for u in range(30):
+        eid += 1
+        rows.append((eid, base, u, "purchase", float(u * u), "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    out = sorted(
+        reg["user_spend_lorenz_deciles"][0](spark, d).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert sum(r.n_users for r in out) == 30
+    total = sum(r.decile_cents for r in out)
+    assert total == sum(u * u * 100 for u in range(30))
+    # Lorenz curve is convex for an ascending-sorted spend distribution:
+    # decile shares non-decreasing, cumulative shares increasing to ~1e6
+    shares = [r.share_micro for r in out]
+    assert shares == sorted(shares)
+    cums = [r.cum_share_micro for r in out]
+    assert cums == sorted(cums) and 999999 <= cums[-1] <= 1000000
