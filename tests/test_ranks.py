@@ -102,3 +102,33 @@ def test_distributed_row_number_ties_and_single_value(spark):
     )
     rns = sorted(r._rn for r in got.collect())
     assert rns == list(range(1, 21))
+
+
+def test_prefix_max_property_random(spark):
+    """Property: for arbitrary (key, value) sets — duplicates of value,
+    negative values, any size — the distributed exclusive prefix max
+    equals the single-partition window at any bucket count."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import Window as W
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-100, max_value=100), min_size=1, max_size=60
+        ),
+        n_buckets=st.sampled_from([1, 2, 7, 16]),
+    )
+    def check(vals, n_buckets):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k int, v int")
+        got = ranks.with_distributed_prefix_max(
+            df, [], ["k"], "v", n_buckets=n_buckets
+        )
+        w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+        want = df.select("k", F.max("v").over(w).alias("pm"))
+        j = {r.k: r._max_before for r in got.collect()}
+        ww = {r.k: r.pm for r in want.collect()}
+        assert j == ww
+
+    check()
