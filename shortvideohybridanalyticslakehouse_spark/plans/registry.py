@@ -111,6 +111,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext67,
         queries_ext68,
         queries_ext69,
+        queries_ext70,
     )
 
     return REGISTRY

@@ -609,3 +609,27 @@ def test_lorenz_deciles_monotone_and_conserved(spark, tmp_path):
     assert shares == sorted(shares)
     cums = [r.cum_share_micro for r in out]
     assert cums == sorted(cums) and 999999 <= cums[-1] <= 1000000
+
+
+def test_lag_correlation_planted_shift(spark, tmp_path):
+    base = dt.datetime(2024, 12, 1)
+    rows, eid = [], 0
+    # views follow pattern p(t); clicks = same pattern delayed 2 minutes
+    # -> corr at lag 2 must be exactly 1.0 (1e6 micro), others lower
+    pattern = [1, 5, 2, 8, 3, 9, 4, 7, 2, 6, 1, 8]
+    for t, c in enumerate(pattern):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(minutes=t), 1, "view", 1.0, "{}"))
+    for t, c in enumerate(pattern):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=t + 2), 1, "click", 1.0, "{}")
+            )
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    out = {r.lag_minutes: r.corr_micro for r in
+           reg["event_type_lag_correlation"][0](spark, d).collect()}
+    assert out[2] == 1_000_000  # perfect correlation at the planted lag
+    assert all(v is None or v < 1_000_000 for lag, v in out.items() if lag != 2)
