@@ -28,9 +28,22 @@ from pyspark.sql import functions as F
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
-_BASKET_ORACLE = """
-WITH baskets AS (
+_MAX_BASKET = 256  # pair blow-up bound: candidates <= orders * C(256,2)
+
+_BASKET_ORACLE = f"""
+WITH raw AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS bsize
+  FROM raw GROUP BY 1
+), baskets AS (
+  -- basket-size cap is part of the CONTRACT, not an approximation both
+  -- engines silently disagree on: megabaskets (carts above {_MAX_BASKET}
+  -- items) carry no pairwise signal worth a quadratic blow-up and are
+  -- excluded identically here and in the engine
+  SELECT r.l_orderkey, r.l_partkey
+  FROM raw r JOIN sized s ON s.l_orderkey = r.l_orderkey
+  WHERE s.bsize <= {_MAX_BASKET}
 ), n_orders AS (
   SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
 ), item_supp AS (
@@ -63,7 +76,16 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 co-purchased part pairs by support, with the exact
     integer-cross-multiplied lift statistic."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    raw = li.select("l_orderkey", "l_partkey").distinct()
+    sized = raw.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bsize")
+    )
+    # enforce the basket-size contract: bounds the in-order self-join to
+    # C(_MAX_BASKET, 2) pairs per order no matter how adversarial a cart
+    baskets = raw.join(
+        sized.filter(F.col("bsize") <= _MAX_BASKET).select("l_orderkey"),
+        "l_orderkey",
+    )
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )

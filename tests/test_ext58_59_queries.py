@@ -633,3 +633,26 @@ def test_lag_correlation_planted_shift(spark, tmp_path):
            reg["event_type_lag_correlation"][0](spark, d).collect()}
     assert out[2] == 1_000_000  # perfect correlation at the planted lag
     assert all(v is None or v < 1_000_000 for lag, v in out.items() if lag != 2)
+
+
+def test_basket_lift_megabasket_excluded_and_bounded(spark, tmp_path):
+    import shortvideohybridanalyticslakehouse_spark.plans.queries_ext65 as m
+
+    rows = []
+    # a megabasket over the cap contributes NOTHING; two normal baskets do
+    for p in range(m._MAX_BASKET + 10):
+        rows.append((1, p + 1000, 1.0))
+    for ok in (2, 3):
+        rows.append((ok, 10, 1.0))
+        rows.append((ok, 20, 1.0))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    ).write.parquet(d + "/lineitem.parquet")
+    reg = load_all()
+    out = reg["market_basket_lift"][0](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # n_orders counts only capped baskets (2); pair seen in both
+    assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (10, 20, 2, 2, 2)
+    assert r.lift_micro == 1_000_000  # 2*2/(2*2)
