@@ -112,6 +112,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext68,
         queries_ext69,
         queries_ext70,
+        queries_ext71,
     )
 
     return REGISTRY

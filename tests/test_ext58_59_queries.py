@@ -656,3 +656,43 @@ def test_basket_lift_megabasket_excluded_and_bounded(spark, tmp_path):
     # n_orders counts only capped baskets (2); pair seen in both
     assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (10, 20, 2, 2, 2)
     assert r.lift_micro == 1_000_000  # 2*2/(2*2)
+
+
+def test_hybrid_rrf_planted_fusion(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    # top-3 df terms are {alpha, beta, delta} (df=3 each, alphabetical);
+    # doc 2 hits all three twice -> lexical #1
+    docs = [
+        (1, "beta gamma delta", "en", "s", 17),
+        (2, "alpha beta delta alpha beta delta", "en", "s", 33),
+        (3, "alpha beta gamma", "en", "s", 16),
+        (4, "alpha delta epsilon", "en", "s", 19),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    # embeddings: vec 0 = query; vec 2 parallel (vec #1); vec 3 opposite
+    dim = 64
+
+    def v(x0):
+        return [float(x0)] + [0.0] * (dim - 1)
+
+    emb = [(0, v(1.0), 0), (2, v(2.0), 0), (3, v(-1.0), 0), (4, v(0.5), 0)]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    reg = load_all()
+    out = reg["hybrid_rrf_search"][0](spark, d).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # doc 2 tops both lanes -> highest fused score
+    assert out[0].doc_id == 2
+    assert by_doc[2].rank_lex == 1 and by_doc[2].rank_vec == 1
+    for r in out:
+        want = 0
+        if r.rank_lex is not None:
+            want += 1_000_000 // (60 + r.rank_lex)
+        if r.rank_vec is not None:
+            want += 1_000_000 // (60 + r.rank_vec)
+        assert r.rrf_micro == want
+    # doc 1 has no embedding row: lexical-only lane, vec rank NULL
+    assert by_doc[1].rank_vec is None and by_doc[1].rank_lex is not None
