@@ -113,6 +113,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext69,
         queries_ext70,
         queries_ext71,
+        queries_ext72,
     )
 
     return REGISTRY
