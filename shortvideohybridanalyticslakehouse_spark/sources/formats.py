@@ -1,7 +1,7 @@
 """Multi-format batch IO (source/sink breadth beyond the parquet
-fixtures): ORC, JSON-lines, and CSV readers/writers with schema-faithful
-round-trips, plus capability detection for formats whose jars are not on
-this image (Avro).
+fixtures): ORC, JSON-lines, CSV, and XML readers/writers with
+schema-faithful round-trips, plus capability detection for formats whose
+jars are not on this image (Avro).
 
 Scale notes per format:
 - parquet / ORC: vectorized columnar scans; both push filters and prune
@@ -12,6 +12,9 @@ Scale notes per format:
   ALWAYS pass an explicit schema (schema inference scans the data twice
   and types drift: ints widen to bigints, timestamps stay strings).
   Appropriate as ingest/egress edges, not as analytical storage.
+- XML: Spark 4 bundles the formerly-external spark-xml source; same
+  text-format rules (schema REQUIRED, pinned microsecond timestamps),
+  rowTag-delimited records. Ingest/egress edge only.
 - Avro: row-oriented with schema evolution; `spark-avro` is an external
   module not bundled here — `avro_available()` reports it, callers fall
   back to JSON for the same row-shaped role.
@@ -22,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "orc", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv", "xml")
 
 _CSV_OPTS = {
     "header": "true",
@@ -35,6 +38,14 @@ _CSV_OPTS = {
 }
 
 _JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+}
+
+# Spark 4 bundles the (formerly external) spark-xml source. Same
+# text-format caveats as CSV/JSON: schema REQUIRED, microsecond
+# timestamp format pinned; rowTag names each record element.
+_XML_OPTS = {
+    "rowTag": "row",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
 }
 
@@ -56,6 +67,10 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         writer = writer.options(**_CSV_OPTS)
     elif fmt == "json":
         writer = writer.options(**_JSON_OPTS)
+    elif fmt == "xml":
+        writer = writer.format("xml").options(**_XML_OPTS)
+        writer.save(path)
+        return
     getattr(writer, fmt)(path)
 
 
@@ -70,14 +85,16 @@ def read_table(
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r} (supported: {FORMATS})")
     reader = spark.read
-    if fmt in ("json", "csv"):
+    if fmt in ("json", "csv", "xml"):
         if schema is None:
             raise ValueError(f"{fmt} reads require an explicit schema")
         reader = reader.schema(schema)
         if fmt == "csv":
             reader = reader.options(**_CSV_OPTS)
-        else:
+        elif fmt == "json":
             reader = reader.options(**_JSON_OPTS)
+        else:
+            return reader.format("xml").options(**_XML_OPTS).load(path)
     elif schema is not None:
         reader = reader.schema(schema)
     return getattr(reader, fmt)(path)

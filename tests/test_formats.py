@@ -31,7 +31,7 @@ def _sorted_rows(df):
     return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_round_trip_value_identical(spark, tmp_path, fmt):
     src = _events(spark)
     path = os.path.join(str(tmp_path), fmt)
@@ -59,7 +59,7 @@ def test_orc_pushdown_and_pruning(spark, tmp_path):
 def test_unsupported_format_and_missing_schema_fail_loudly(spark, tmp_path):
     src = _events(spark)
     with pytest.raises(ValueError, match="unsupported format"):
-        formats.write_table(src, str(tmp_path), "xml")
+        formats.write_table(src, str(tmp_path), "avro")
     with pytest.raises(ValueError, match="explicit schema"):
         formats.read_table(spark, str(tmp_path), "csv")
 
