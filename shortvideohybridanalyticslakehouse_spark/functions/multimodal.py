@@ -477,9 +477,11 @@ def decode_wav(payload: bytes):
     subchunk list (skipping unknown chunks like LIST/INFO and honoring the
     odd-size pad byte) to find "fmt " and "data" — not a fixed 44-byte
     offset, which breaks on any file with metadata chunks. Supports
-    uncompressed 16-bit PCM (audio_format 1); anything else raises
-    ValueError so callers can fall back explicitly. Returns ``frames`` as
-    an (n_frames, channels) int16 ndarray.
+    uncompressed 16-bit PCM (audio_format 1) and G.711 mu-law
+    (audio_format 7, expanded to the quantized int16 samples via
+    mulaw_expand); anything else raises ValueError so callers can fall
+    back explicitly. Returns ``frames`` as an (n_frames, channels)
+    int16 ndarray.
     """
     import numpy as np
 

@@ -114,7 +114,7 @@ def q_mulaw_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = multimodal.wav_decoded_samples(payloads, "doc_id")
     orig = (
-        load_table(spark, sf_dir, "documents")
+        docs
         .select(
             "doc_id",
             F.expr(

@@ -7,8 +7,8 @@ src/spark/rt_video_cdc_upsert_sql.py).
 - customer_supplier_linkage: Fellegi-Sunter-shaped linkage between the
   customer and supplier registries. BLOCK on nationkey (the classic
   blocking key: candidate pairs shrink from |C|x|S| to sum over blocks),
-  then score each candidate with integer evidence weights — phone area
-  code agreement, account-balance proximity, a name-key residue — and
+  then score each candidate with integer evidence weights — name-suffix
+  agreement, account-balance proximity, a name-key residue — and
   keep each customer's best match above threshold via one window. All
   evidence is integer arithmetic; ties break deterministically. Scale:
   the block join shuffles on the blocking key only; skewed blocks would
@@ -47,8 +47,8 @@ WITH cand AS (
          CASE WHEN substr(c.c_name, length(c.c_name) - 1, 2)
                  = substr(s.s_name, length(s.s_name) - 1, 2)
               THEN {_W_SUFFIX} ELSE 0 END
-       + CASE WHEN abs(CAST(c.c_acctbal * 100 AS BIGINT)
-                    - CAST(s.s_acctbal * 100 AS BIGINT)) <= 50000
+       + CASE WHEN abs(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    - CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) <= 50000
               THEN {_W_BAL} ELSE 0 END
        + CASE WHEN c.c_custkey % 97 = s.s_suppkey % 97
               THEN {_W_NAME} ELSE 0 END AS score
@@ -83,9 +83,12 @@ def q_customer_supplier_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_W_SUFFIX),
             ).otherwise(F.lit(0))
             + F.when(
+                # cents via DECIMAL(18,2) in BOTH engines: double->bigint
+                # casts truncate in Spark but round in DuckDB, which can
+                # flip the evidence at the 50000-cent boundary
                 F.abs(
-                    (F.col("c_acctbal") * 100).cast("bigint")
-                    - (F.col("s_acctbal") * 100).cast("bigint")
+                    (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+                    - (F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
                 )
                 <= 50000,
                 F.lit(_W_BAL),

@@ -29,10 +29,14 @@ from shortvideohybridanalyticslakehouse_spark.operators.ranks import (
     ntile_from_rank,
     with_distributed_row_number,
 )
+from shortvideohybridanalyticslakehouse_spark.plans.money import (
+    PURCHASE_CENTS_SQL as _CENTS,
+    purchase_cents,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
-_RFM_ORACLE = """
+_RFM_ORACLE = f"""
 WITH anchor AS (
   SELECT max(ts) AS t_max FROM events
 ), per_user AS (
@@ -41,8 +45,7 @@ WITH anchor AS (
       AS recency_days,
     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
       AS frequency,
-    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
-                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT)
+    {_CENTS}
       AS monetary_cents
   FROM events GROUP BY user_id
 ), scored AS (
@@ -75,19 +78,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("frequency"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase",
-                        (F.col("value").cast("decimal(18,2)") * 100).cast(
-                            "bigint"
-                        ),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("monetary_cents"),
+            purchase_cents().alias("monetary_cents"),
         )
         .crossJoin(F.broadcast(anchor))
         .withColumn(
@@ -130,11 +121,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GINI_ORACLE = """
+_GINI_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
-    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
-                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT)
+    {_CENTS}
       AS cents
   FROM events GROUP BY user_id
 ), ranked AS (
@@ -161,17 +151,7 @@ def q_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed ascending spend rank."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("cents")
+        purchase_cents().alias("cents")
     )
     ranked = with_distributed_row_number(
         per_user, [], ["cents", "user_id"], n_buckets=16, rn_col="_i", n_col="_n"

@@ -15,14 +15,17 @@ from shortvideohybridanalyticslakehouse_spark.operators.ranks import (
     ntile_from_rank,
     with_distributed_row_number,
 )
+from shortvideohybridanalyticslakehouse_spark.plans.money import (
+    PURCHASE_CENTS_SQL as _CENTS,
+    purchase_cents,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
-_LORENZ_ORACLE = """
+_LORENZ_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
-    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
-                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT)
+    {_CENTS}
       AS cents
   FROM events GROUP BY user_id
 ), ranked AS (
@@ -53,17 +56,7 @@ def q_user_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join idiom (no single-partition window)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("cents")
+        purchase_cents().alias("cents")
     )
     ranked = with_distributed_row_number(
         per_user, [], ["cents", "user_id"], n_buckets=16, rn_col="_i", n_col="_n"

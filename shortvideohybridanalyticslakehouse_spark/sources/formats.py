@@ -80,8 +80,9 @@ def read_table(
     fmt: str = "parquet",
     schema: StructType | str | None = None,
 ) -> DataFrame:
-    """Read ``path`` as ``fmt``. For the text formats (json/csv) a schema
-    is REQUIRED — inference is a correctness hazard, not a convenience."""
+    """Read ``path`` as ``fmt``. For the text formats (json/csv/xml) a
+    schema is REQUIRED — inference is a correctness hazard, not a
+    convenience."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r} (supported: {FORMATS})")
     reader = spark.read
