@@ -114,6 +114,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext70,
         queries_ext71,
         queries_ext72,
+        queries_ext73,
     )
 
     return REGISTRY

@@ -696,3 +696,25 @@ def test_hybrid_rrf_planted_fusion(spark, tmp_path):
         assert r.rrf_micro == want
     # doc 1 has no embedding row: lexical-only lane, vec rank NULL
     assert by_doc[1].rank_vec is None and by_doc[1].rank_lex is not None
+
+
+def test_bpe_first_merges_classic_corpus(spark, tmp_path):
+    # Sennrich et al.'s canonical example vocabulary: hand-computed
+    # merges are (e,s)x6 -> (es,t)x6 -> (l,o)x5 (tie-breaks by left sym)
+    text = " ".join(
+        ["low"] * 3 + ["lower"] * 2 + ["newest"] * 4 + ["widest"] * 2
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    reg = load_all()
+    out = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in sorted(
+            reg["bpe_first_merges"][0](spark, d).collect(),
+            key=lambda r: r.round,
+        )
+    ]
+    assert out == [(1, "e", "s", 6), (2, "es", "t", 6), (3, "l", "o", 5)]
