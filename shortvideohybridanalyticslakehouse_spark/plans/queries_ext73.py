@@ -153,3 +153,113 @@ def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+_BPE_APPLY_ORACLE = (
+    f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS w
+  FROM documents
+), vocab0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         '||' || array_to_string(regexp_extract_all(w, '.'), '||') || '||' AS seq
+  FROM words GROUP BY w
+),"""
+    + ",".join(_duck_round(f"vocab{i}", i + 1) for i in range(_ROUNDS))
+    + """
+, segmented AS (
+  SELECT freq,
+         CAST(len(list_filter(string_split(seq, '||'), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(length(w) AS BIGINT) AS n_chars
+  FROM vocab3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(freq * n_tokens) AS BIGINT) AS corpus_tokens,
+       CAST(sum(freq * n_chars) AS BIGINT) AS corpus_chars,
+       CAST(floor(CAST(sum(freq * n_tokens) AS DOUBLE) * 1000000
+            / CAST(sum(freq * n_chars) AS DOUBLE)) AS BIGINT)
+         AS tokens_per_char_micro
+FROM segmented
+"""
+)
+
+
+@register("bpe_segmentation_stats", _BPE_APPLY_ORACLE)
+def q_bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the 3 learned merges: corpus token counts under the trained
+    segmentation and the tokens-per-character compression the merges buy
+    (floored micro ratio on exact integer sums) — the train->apply loop
+    of a real tokenizer pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_REGEX), 0)
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    ).withColumn(
+        "seq",
+        F.concat(
+            F.lit("||"),
+            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "||"),
+            F.lit("||"),
+        ),
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    for _ in range(_ROUNDS):
+        syms = F.filter(
+            F.split(F.col("seq"), r"\|\|"), lambda x: x != F.lit("")
+        )
+        pairs = (
+            vocab.select("freq", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        win = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).first()
+        vocab = vocab.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{win['l']}||{win['r']}|"),
+                F.lit(f"|{win['l']}{win['r']}|"),
+            ),
+        ).localCheckpoint(eager=True)
+    syms = F.filter(F.split(F.col("seq"), r"\|\|"), lambda x: x != F.lit(""))
+    seg = vocab.select(
+        "freq",
+        F.size(syms).cast("bigint").alias("n_tokens"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    return seg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+        F.sum(F.col("freq") * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("corpus_tokens"),
+        F.sum(F.col("freq") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("corpus_chars"),
+        F.floor(
+            F.sum(F.col("freq") * F.col("n_tokens")).cast("double")
+            * 1000000
+            / F.sum(F.col("freq") * F.col("n_chars")).cast("double")
+        )
+        .cast("bigint")
+        .alias("tokens_per_char_micro"),
+    )
