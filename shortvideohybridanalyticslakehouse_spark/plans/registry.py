@@ -115,6 +115,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext71,
         queries_ext72,
         queries_ext73,
+        queries_ext74,
     )
 
     return REGISTRY

@@ -718,3 +718,23 @@ def test_bpe_first_merges_classic_corpus(spark, tmp_path):
         )
     ]
     assert out == [(1, "e", "s", 6), (2, "es", "t", 6), (3, "l", "o", 5)]
+
+
+def test_k_anonymity_planted_violations(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    rows = []
+    # class (nation 1, band 0): 6 customers, 2 segments -> safe on both
+    for i in range(6):
+        rows.append((i + 1, f"Customer#{i:09d}", 1, 100.0,
+                     "BUILDING" if i % 2 else "MACHINERY"))
+    # class (nation 2, band 0): 2 customers, 1 segment -> violates k AND l
+    rows.append((100, "Customer#000000100", 2, 50.0, "AUTOMOBILE"))
+    rows.append((101, "Customer#000000101", 2, 60.0, "AUTOMOBILE"))
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).write.parquet(d + "/customer.parquet")
+    reg = load_all()
+    r = reg["k_anonymity_audit"][0](spark, d).collect()[0]
+    assert r.n_classes == 2 and r.min_class_size == 2
+    assert r.k_violating_classes == 1 and r.k_exposed_rows == 2
+    assert r.l_violating_classes == 1 and r.l_exposed_rows == 2
