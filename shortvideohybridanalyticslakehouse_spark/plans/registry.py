@@ -116,6 +116,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext72,
         queries_ext73,
         queries_ext74,
+        queries_ext75,
     )
 
     return REGISTRY

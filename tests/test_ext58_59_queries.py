@@ -738,3 +738,37 @@ def test_k_anonymity_planted_violations(spark, tmp_path):
     assert r.n_classes == 2 and r.min_class_size == 2
     assert r.k_violating_classes == 1 and r.k_exposed_rows == 2
     assert r.l_violating_classes == 1 and r.l_exposed_rows == 2
+
+
+def test_order_sla_planted_quartiles(spark, tmp_path):
+    import datetime as dt2
+
+    d = str(tmp_path / "sf")
+    base = dt2.date(2024, 1, 1)
+    # priority P: durations 1..10 days -> p50=5, p90=9; 0 breaches of 30
+    orders, lines = [], []
+    for i in range(10):
+        ok = i + 1
+        orders.append((ok, 1, "O", 100.0, base, "P"))
+        lines.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                      base + dt2.timedelta(days=i + 1)))
+    # one order at 40 days -> breach; n=11, p50 idx ceil(5.5)=6 -> 6 days
+    orders.append((99, 1, "O", 100.0, base, "P"))
+    lines.append((99, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                  base + dt2.timedelta(days=40)))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(d + "/lineitem.parquet")
+    reg = load_all()
+    r = reg["order_fulfillment_sla"][0](spark, d).collect()[0]
+    assert r.n_orders == 11
+    # sorted days: 1..10,40; p50 = smallest with 2rn>=11 -> rn 6 -> 6
+    assert r.p50_days == 6
+    # p90: smallest with 10rn >= 99 -> rn 10 -> 10 days
+    assert r.p90_days == 10
+    assert r.breach_share_micro == 1_000_000 // 11
