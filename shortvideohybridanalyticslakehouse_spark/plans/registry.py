@@ -117,6 +117,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext73,
         queries_ext74,
         queries_ext75,
+        queries_ext76,
     )
 
     return REGISTRY

@@ -772,3 +772,29 @@ def test_order_sla_planted_quartiles(spark, tmp_path):
     # p90: smallest with 10rn >= 99 -> rn 10 -> 10 days
     assert r.p90_days == 10
     assert r.breach_share_micro == 1_000_000 // 11
+
+
+def test_grouped_slope_planted_perfect_line(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    lines, parts = [], []
+    # brand A: y = 2x exactly (slope_micro = 2e6); brand B: constant x -> NULL
+    parts.append((1, "A"))
+    parts.append((2, "B"))
+    for i, disc in enumerate([0.01, 0.02, 0.03, 0.04]):
+        lines.append((i + 1, 1, 1, 1, disc * 200, 1.0, disc, 0.0, "N", "O",
+                      None))
+    for i in range(3):
+        lines.append((100 + i, 2, 1, 1, 5.0, 1.0, 0.05, 0.0, "N", "O", None))
+    spark.createDataFrame(
+        parts, "p_partkey long, p_brand string"
+    ).write.parquet(d + "/part.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(d + "/lineitem.parquet")
+    reg = load_all()
+    got = {r.brand: (r.n, r.slope_micro) for r in
+           reg["discount_quantity_slope_by_brand"][0](spark, d).collect()}
+    # brand A: x = 1,2,3,4 (bp); y = 200,400,600,800 (hundredths) -> slope 200
+    assert got["A"] == (4, 200_000_000)
+    assert got["B"] == (3, None)
