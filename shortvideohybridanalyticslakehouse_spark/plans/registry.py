@@ -118,6 +118,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext74,
         queries_ext75,
         queries_ext76,
+        queries_ext77,
     )
 
     return REGISTRY

@@ -798,3 +798,53 @@ def test_grouped_slope_planted_perfect_line(spark, tmp_path):
     # brand A: x = 1,2,3,4 (bp); y = 200,400,600,800 (hundredths) -> slope 200
     assert got["A"] == (4, 200_000_000)
     assert got["B"] == (3, None)
+
+
+def test_cohort_ltv_planted(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)  # a Monday: week-truncation anchor
+    rows, eid = [], 0
+    # u1 signs up week 0, buys 10.00 at age 0 and 5.00 at age 2
+    # u2 signs up week 0, never buys
+    for u in (1, 2):
+        eid += 1
+        rows.append((eid, base, u, "signup", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, base + dt.timedelta(days=1), 1, "purchase", 10.0, "{}"))
+    eid += 1
+    rows.append((eid, base + dt.timedelta(days=15), 1, "purchase", 5.0, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    got = {
+        (r.cohort_week, r.age_weeks): (r.cohort_users, r.cum_cents)
+        for r in reg["cohort_ltv_curve"][0](spark, d).collect()
+    }
+    wk = "2024-01-01"
+    assert got[(wk, 0)] == (2, 1000)
+    assert got[(wk, 1)] == (2, 1000)
+    assert got[(wk, 2)] == (2, 1500)
+    assert got[(wk, 3)] == (2, 1500)
+
+
+def test_hhi_extremes(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    parts = [(1, "MONO"), (2, "DUO")]
+    lines = [
+        # MONO: one supplier -> HHI = 1e6
+        (1, 1, 7, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (2, 1, 7, 1, 20.0, 1.0, 0.0, 0.0, "N", "O", None),
+        # DUO: two equal suppliers -> HHI = 0.5e6
+        (3, 2, 8, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (4, 2, 9, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", None),
+    ]
+    spark.createDataFrame(parts, "p_partkey long, p_brand string").write.parquet(
+        d + "/part.parquet"
+    )
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(d + "/lineitem.parquet")
+    reg = load_all()
+    got = {r.brand: (r.n_suppliers, r.hhi_micro) for r in
+           reg["supplier_concentration_hhi"][0](spark, d).collect()}
+    assert got["MONO"] == (1, 1_000_000)
+    assert got["DUO"] == (2, 500_000)
