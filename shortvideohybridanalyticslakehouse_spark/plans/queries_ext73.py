@@ -65,8 +65,7 @@ p{n} AS (
 )"""
 
 
-_BPE_ORACLE = (
-    f"""
+_DUCK_PREFIX = f"""
 WITH words AS (
   SELECT unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS w
   FROM documents
@@ -75,6 +74,9 @@ WITH words AS (
          '||' || array_to_string(regexp_extract_all(w, '.'), '||') || '||' AS seq
   FROM words GROUP BY w
 ),"""
+
+_BPE_ORACLE = (
+    _DUCK_PREFIX
     + ",".join(_duck_round(f"vocab{i}", i + 1) for i in range(_ROUNDS))
     + """
 SELECT * FROM (
@@ -88,35 +90,42 @@ SELECT * FROM (
 )
 
 
-@register("bpe_first_merges", _BPE_ORACLE)
-def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first 3 BPE merges learned from the corpus: per round, the
-    winning adjacent symbol pair and its word-frequency-weighted count.
-    Greedy left-to-right merge application is proven identical across
-    engines by the anchored double-separator string encoding."""
+
+def _build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word frequency table with the anchored '||'-separated
+    character sequence — the relation BPE trains on. localCheckpointed:
+    O(distinct words), and every round's argmax action re-reads it."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_REGEX), 0)
         ).alias("w")
     )
-    vocab = words.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    ).withColumn(
-        "seq",
-        F.concat(
-            F.lit("||"),
-            F.array_join(
-                F.expr("regexp_extract_all(w, '.', 0)"), "||"
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "seq",
+            F.concat(
+                F.lit("||"),
+                F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "||"),
+                F.lit("||"),
             ),
-            F.lit("||"),
-        ),
+        )
     )
-    # the vocab table is O(distinct words) — the already-reduced side;
-    # checkpoint so each round's argmax action doesn't re-tokenize
-    vocab = vocab.localCheckpoint(eager=True)
+    return vocab.localCheckpoint(eager=True)
+
+
+def _train(
+    vocab: DataFrame, rounds: int, *, merge_last: bool
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Run ``rounds`` greedy merge rounds. Returns (merged vocab, winner
+    rows). ``merge_last=False`` skips materializing the final round's
+    merged vocab when only the winners are needed. Stops early (like the
+    oracle's empty scalar subqueries yield no further rows) if a round
+    has no adjacent pairs at all."""
     out: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, _ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         syms = F.filter(
             F.split(F.col("seq"), r"\|\|"), lambda x: x != F.lit("")
         )
@@ -141,7 +150,11 @@ def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         win = pairs.orderBy(
             F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
         ).first()
+        if win is None:  # corpus exhausted: no multi-symbol words left
+            break
         out.append((rnd, win["l"], win["r"], win["cnt"]))
+        if rnd == rounds and not merge_last:
+            break
         vocab = vocab.withColumn(
             "seq",
             F.replace(
@@ -150,21 +163,24 @@ def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"|{win['l']}{win['r']}|"),
             ),
         ).localCheckpoint(eager=True)
+    return vocab, out
+
+
+@register("bpe_first_merges", _BPE_ORACLE)
+def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 3 BPE merges learned from the corpus: per round, the
+    winning adjacent symbol pair and its word-frequency-weighted count.
+    Greedy left-to-right merge application is proven identical across
+    engines by the anchored double-separator string encoding."""
+    vocab = _build_vocab(spark, sf_dir)
+    _, out = _train(vocab, _ROUNDS, merge_last=False)
     return spark.createDataFrame(
         out, "round int, left_sym string, right_sym string, pair_count bigint"
     )
 
 
 _BPE_APPLY_ORACLE = (
-    f"""
-WITH words AS (
-  SELECT unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS w
-  FROM documents
-), vocab0 AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS freq,
-         '||' || array_to_string(regexp_extract_all(w, '.'), '||') || '||' AS seq
-  FROM words GROUP BY w
-),"""
+    _DUCK_PREFIX
     + ",".join(_duck_round(f"vocab{i}", i + 1) for i in range(_ROUNDS))
     + """
 , segmented AS (
@@ -191,56 +207,8 @@ def q_bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation and the tokens-per-character compression the merges buy
     (floored micro ratio on exact integer sums) — the train->apply loop
     of a real tokenizer pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_REGEX), 0)
-        ).alias("w")
-    )
-    vocab = words.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    ).withColumn(
-        "seq",
-        F.concat(
-            F.lit("||"),
-            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "||"),
-            F.lit("||"),
-        ),
-    )
-    vocab = vocab.localCheckpoint(eager=True)
-    for _ in range(_ROUNDS):
-        syms = F.filter(
-            F.split(F.col("seq"), r"\|\|"), lambda x: x != F.lit("")
-        )
-        pairs = (
-            vocab.select("freq", syms.alias("syms"))
-            .filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at(F.col("syms"), i).alias("l"),
-                            F.element_at(F.col("syms"), i + 1).alias("r"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        )
-        win = pairs.orderBy(
-            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
-        ).first()
-        vocab = vocab.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
-                F.lit(f"|{win['l']}||{win['r']}|"),
-                F.lit(f"|{win['l']}{win['r']}|"),
-            ),
-        ).localCheckpoint(eager=True)
+    vocab = _build_vocab(spark, sf_dir)
+    vocab, _ = _train(vocab, _ROUNDS, merge_last=True)
     syms = F.filter(F.split(F.col("seq"), r"\|\|"), lambda x: x != F.lit(""))
     seg = vocab.select(
         "freq",

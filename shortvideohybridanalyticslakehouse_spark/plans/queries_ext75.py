@@ -39,7 +39,7 @@ WITH done AS (
   FROM orders o JOIN done d ON d.okey = o.o_orderkey
 ), ranked AS (
   SELECT priority, days,
-         row_number() OVER (PARTITION BY priority ORDER BY days, priority) AS rn,
+         row_number() OVER (PARTITION BY priority ORDER BY days) AS rn,
          count(*) OVER (PARTITION BY priority) AS n
   FROM durs
 )

@@ -4,11 +4,12 @@ asks for), the GROUPED form of the global regr_slope query
 (event_value_regr_slope).
 
 Exactness: discount and quantity route through DECIMAL(18,2) to integer
-units (basis points x100 / quantity hundredths), so the five regression
-sums are exact BIGINTs; slope_micro = floor(1e6 * (n*Sxy - Sx*Sy) /
-(n*Sxx - Sx^2)) is one IEEE division per brand (NULL when the brand has
-no discount variance). Sums stay in int64 at sf scales (|x| <= 1000,
-|y| <= 5000, n <= rows-per-brand); DECIMAL(38,0) guards the
+units (x = discount in PERCENT HUNDREDTHS, so 0.05 -> 5; y = quantity
+hundredths), so the five regression sums are exact BIGINTs; slope_micro
+= floor(1e6 * (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)) is one IEEE division
+per brand (NULL when the brand has no discount variance) and reads as
+quantity-hundredths per discount-percent-hundredth. Sums stay in int64
+at sf scales (|x| <= 10, |y| <= 5000); DECIMAL(38,0) guards the
 cross-products where they could outgrow int64 at 100 TB.
 
 Plan: lineitem joins the broadcastable part dim for the brand key, one
@@ -49,9 +50,9 @@ FROM sums
 
 @register("discount_quantity_slope_by_brand", _SLOPE_ORACLE)
 def q_discount_quantity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per brand: OLS slope of quantity (hundredths) on discount (basis
-    points), exact integer regression sums, floored micro slope, NULL on
-    zero discount variance."""
+    """Per brand: OLS slope of quantity hundredths on discount percent
+    hundredths, exact integer regression sums, floored micro slope,
+    NULL on zero discount variance."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     pts = li.join(

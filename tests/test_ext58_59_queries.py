@@ -795,7 +795,8 @@ def test_grouped_slope_planted_perfect_line(spark, tmp_path):
     reg = load_all()
     got = {r.brand: (r.n, r.slope_micro) for r in
            reg["discount_quantity_slope_by_brand"][0](spark, d).collect()}
-    # brand A: x = 1,2,3,4 (bp); y = 200,400,600,800 (hundredths) -> slope 200
+    # brand A: x = 1,2,3,4 (discount percent hundredths);
+    # y = 200,400,600,800 (quantity hundredths) -> slope 200
     assert got["A"] == (4, 200_000_000)
     assert got["B"] == (3, None)
 
@@ -848,3 +849,18 @@ def test_hhi_extremes(spark, tmp_path):
            reg["supplier_concentration_hhi"][0](spark, d).collect()}
     assert got["MONO"] == (1, 1_000_000)
     assert got["DUO"] == (2, 500_000)
+
+
+def test_bpe_degenerate_corpus_no_crash(spark, tmp_path):
+    # all single-character words: zero adjacent pairs anywhere — the
+    # trainer must return an EMPTY result (like the oracle's empty
+    # scalar subqueries), not crash on a None argmax
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "a b c a b", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    reg = load_all()
+    assert reg["bpe_first_merges"][0](spark, d).collect() == []
+    r = reg["bpe_segmentation_stats"][0](spark, d).collect()[0]
+    assert r.n_distinct_words == 3 and r.corpus_tokens == r.corpus_chars == 5
