@@ -41,10 +41,17 @@ def test_ewma_state_survives_restart(spark, tmp_path):
     store = os.path.join(str(tmp_path), "out")
 
     def sink(batch_df, batch_id: int) -> None:
+        # ALWAYS consume every partition first: for a stateful query the
+        # state-store commits ride on partition processing, and Spark 4
+        # fails the batch (STATE_STORE_COMMIT_VALIDATION_FAILED) if a
+        # replayed batch returns early without touching the data
+        rows = batch_df.collect()
         part = os.path.join(store, f"batch={batch_id}")
-        if os.path.exists(part):
+        if os.path.exists(part) or not rows:
             return  # replayed batch after restart: idempotent skip
-        batch_df.write.mode("overwrite").parquet(part)
+        batch_df.sparkSession.createDataFrame(
+            rows, batch_df.schema
+        ).write.mode("overwrite").parquet(part)
 
     def start(trigger_kwargs):
         stream = (
