@@ -119,6 +119,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext75,
         queries_ext76,
         queries_ext77,
+        queries_ext78,
     )
 
     return REGISTRY

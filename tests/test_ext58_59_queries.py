@@ -864,3 +864,23 @@ def test_bpe_degenerate_corpus_no_crash(spark, tmp_path):
     assert reg["bpe_first_merges"][0](spark, d).collect() == []
     r = reg["bpe_segmentation_stats"][0](spark, d).collect()[0]
     assert r.n_distinct_words == 3 and r.corpus_tokens == r.corpus_chars == 5
+
+
+def test_duplicate_purchase_audit_planted(spark, tmp_path):
+    base = dt.datetime(2024, 9, 10)
+    rows = [
+        # u1: 19.99 and 19.50 (same dollar 19) 10 min apart -> 1 pair
+        (1, base, 1, "purchase", 19.99, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "purchase", 19.50, "{}"),
+        # u1: 42.00 again 7h later -> outside the 6h band, no pair
+        (3, base + dt.timedelta(hours=1), 1, "purchase", 42.00, "{}"),
+        (4, base + dt.timedelta(hours=8), 1, "purchase", 42.00, "{}"),
+        # u2: different dollars -> no pair
+        (5, base, 2, "purchase", 10.00, "{}"),
+        (6, base + dt.timedelta(minutes=1), 2, "purchase", 11.00, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    reg = load_all()
+    out = {r.user_id: (r.n_suspect_pairs, r.suspect_cents, r.min_gap_s)
+           for r in reg["duplicate_purchase_audit"][0](spark, d).collect()}
+    assert out == {1: (1, 1999, 600)}
