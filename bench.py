@@ -69,6 +69,12 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     names += [n for n in REGISTRY if n not in names]
+    # Local-iteration subset: comma-separated query names. Driver runs never
+    # set this, so the recorded artifact is always the full registry.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     # Median-of-N wall time per query (round-4 methodology pin): a single
     # trial on a shared host folds one-off stalls (CPU steal, GC pause)
@@ -109,25 +115,47 @@ def main() -> None:
     load_end = loadavg()
     total = round(sum(timings.values()), 3)
     spread_sorted = sorted(spreads.values())
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_seconds_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "trials_per_query": TRIALS,
-                "timing": "median_of_trials",
-                "query_spread_max_minus_min": spreads,
-                "spread_p90": spread_sorted[int(0.9 * (len(spread_sorted) - 1))]
-                if spread_sorted
-                else None,
-                "loadavg_start": load_start,
-                "loadavg_end": load_end,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_wall_seconds_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "trials_per_query": TRIALS,
+        "timing": "median_of_trials",
+        "query_spread_max_minus_min": spreads,
+        "spread_p90": spread_sorted[int(0.9 * (len(spread_sorted) - 1))]
+        if spread_sorted
+        else None,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+    }
+    print(json.dumps(payload))
+    # Persist the FULL per-query detail into the repo (VERDICT r5 #3): the
+    # driver's BENCH_r{N}.json truncates the tail, losing the only per-query
+    # record of the older queries each round. Round number = one past the
+    # highest recorded BENCH_r*.json (the driver writes BENCH_r{N} AFTER
+    # running us, so at run time max existing is N-1). Subset runs
+    # (SPARK_GRAFT_BENCH_ONLY) skip the artifact — partial detail would
+    # overwrite full detail.
+    if not only:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            nxt = (max(rounds) + 1) if rounds else 0
+            detail = os.environ.get(
+                "SPARK_GRAFT_BENCH_DETAIL",
+                os.path.join(here, f"BENCHDETAIL_r{nxt:02d}.json"),
+            )
+            with open(detail, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError:
+            pass
     spark.stop()
 
 
