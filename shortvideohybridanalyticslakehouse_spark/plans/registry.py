@@ -120,6 +120,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext76,
         queries_ext77,
         queries_ext78,
+        queries_ext79,
     )
 
     return REGISTRY

@@ -431,6 +431,7 @@ def test_codec_fuzz_never_crashes():
         multimodal.encode_png(6, 4, rgb),
         multimodal.encode_gif(6, 4, bytes(24), bytes(768)),
         multimodal._jpeg_fixture_payload(3),
+        multimodal._jpeg_color_fixture_payload(3),
     ]
 
     @settings(max_examples=120, deadline=None)
@@ -456,6 +457,7 @@ def test_codec_fuzz_never_crashes():
             (multimodal.decode_png, ()),
             (multimodal.decode_gif, ()),
             (multimodal.decode_jpeg_gray, ()),
+            (multimodal.decode_jpeg_color, ()),
         ):
             try:
                 decoder(payload)
