@@ -73,17 +73,16 @@ FROM pit GROUP BY 1
 """
 
 
-@register("scd2_state_point_in_time", _SCD2_ORACLE)
-def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 from a change stream (consecutive duplicate states collapse
-    into one version; running change-flag sum numbers versions; LEAD
-    closes intervals, the last version stays open) + point-in-time join
-    of purchase facts: equi user_id key with the validity range as the
-    join residual, facts with no covering version kept as 'UNKNOWN'."""
-    ev = load_table(spark, sf_dir, "events")
-    changes = ev.where(F.col("event_type") != "purchase").select(
-        "user_id", "ts", "event_id", F.col("event_type").alias("state")
-    )
+def scd2_bands(changes: DataFrame) -> DataFrame:
+    """SCD2 band builder over a change frame (user_id, ts, event_id,
+    state): consecutive duplicate states collapse into one version, a
+    running change-flag sum numbers versions, LEAD closes intervals and
+    the last version per user stays open (valid_to NULL). Returns
+    (user_id, state, valid_from, valid_to).
+
+    SHARED by the batch registry query and the streaming band maintainer
+    (streaming/scd2.py) — the serving.gold_1min pattern: one plan builder
+    so batch and streaming SCD2 cannot drift."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = changes.withColumn(
         "chg",
@@ -101,9 +100,23 @@ def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from")
     )
     wd = Window.partitionBy("user_id").orderBy("valid_from")
-    dim = scd2.withColumn("valid_to", F.lead("valid_from").over(wd)).select(
+    return scd2.withColumn("valid_to", F.lead("valid_from").over(wd)).select(
         "user_id", "state", "valid_from", "valid_to"
     )
+
+
+@register("scd2_state_point_in_time", _SCD2_ORACLE)
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 from a change stream (consecutive duplicate states collapse
+    into one version; running change-flag sum numbers versions; LEAD
+    closes intervals, the last version stays open) + point-in-time join
+    of purchase facts: equi user_id key with the validity range as the
+    join residual, facts with no covering version kept as 'UNKNOWN'."""
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    dim = scd2_bands(changes)
     facts = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
