@@ -121,6 +121,9 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext77,
         queries_ext78,
         queries_ext79,
+        queries_ext80,
+        queries_ext81,
+        queries_ext82,
     )
 
     return REGISTRY
