@@ -948,3 +948,56 @@ def cosine_topk_arrow(
         score, f"{id_col} long, cosine_sim double"
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def int_gram_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT integer second-moment sums for covariance/PCA over an
+    embedding column: quantize each component to x_q = round(x * scale)
+    (int64), then emit per-partition partial sums via one numpy GEMM —
+    rows (i, j, s) with s = sum(x_qi * x_qj) for the full dim x dim grid,
+    (i, -1, s) marginals s = sum(x_qi), and one (-1, -1, n) count row —
+    reduced by a single groupBy(i, j) SUM.
+
+    Integer quantization is the cross-engine determinism hinge: int64
+    partial sums reassociate losslessly, so Spark's partition order and
+    DuckDB's scan order produce the SAME covariance numerators, unlike
+    float accumulation. Overflow headroom: |x_q| <= scale, so
+    |sum x_qi x_qj| <= n * scale^2 — at scale 1e6 that caps n at ~9e6
+    rows per full-precision build; larger corpora drop scale to 1e4-1e5
+    (documented contract, asserted here).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.rint(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            gram = mat.T @ mat  # dim x dim int64 — exact
+            marg = mat.sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(dim), [-1]]),
+                    "j": np.concatenate(
+                        [jj.ravel(), np.full(dim, -1), [-1]]
+                    ),
+                    "s": np.concatenate(
+                        [gram.ravel(), marg, [len(pdf)]]
+                    ).astype(np.int64),
+                }
+            )
+
+    parts = df.select(id_col, vec_col).mapInPandas(
+        stats, "i int, j int, s long"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))

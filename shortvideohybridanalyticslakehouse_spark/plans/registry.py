@@ -124,6 +124,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext80,
         queries_ext81,
         queries_ext82,
+        queries_ext83,
     )
 
     return REGISTRY
