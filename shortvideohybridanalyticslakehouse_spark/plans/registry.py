@@ -125,6 +125,9 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext81,
         queries_ext82,
         queries_ext83,
+        queries_ext84,
+        queries_ext85,
+        queries_ext86,
     )
 
     return REGISTRY
