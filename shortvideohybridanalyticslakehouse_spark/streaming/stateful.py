@@ -326,3 +326,96 @@ def ewma_incremental(minute_counts: DataFrame, alpha: float = 0.125) -> DataFram
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt level+trend streaming twin (round 6): the ext81 batch fold as
+# per-key incremental state
+# ---------------------------------------------------------------------------
+
+HOLT_OUTPUT_SCHEMA = (
+    "event_type string, n_hours bigint, level_final double, "
+    "trend_final double, forecast_next double, mae_one_step double"
+)
+HOLT_STATE_SCHEMA = (
+    "l double, b double, err_sum double, n bigint, n_hours bigint, "
+    "last bigint"
+)
+
+
+def _round12(x: float) -> float:
+    """Mirror Spark's F.round(x, 12): shortest-repr decimal, HALF_UP.
+    (Python's built-in round is HALF_EVEN — a different function.)"""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+
+
+def holt_incremental(hour_counts: DataFrame) -> DataFrame:
+    """Streaming twin of event_type_holt_forecast (queries_ext81): the
+    Holt level+trend recurrence (alpha=1/2, beta=1/4, round-12 quantized
+    per step) maintained as per-key state across micro-batches.
+
+    Contract mirrors ewma_incremental: input rows are per-(event_type,
+    hour) counts, each hour delivered exactly once in order (replayed
+    hours at or before the state's high-water mark are dropped). The fold
+    applies the IDENTICAL quantized IEEE ops in the identical order as
+    the batch array fold, so the streamed (level, trend, mae) is
+    bit-identical to the batch query on the same closed set — asserted by
+    tests/test_stream_holt_twin.py. State: 6 scalars per event type.
+    """
+
+    def fn(
+        key: tuple, pdf_iter: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        if state.exists:
+            level, trend, err_sum, n, n_hours, last = state.get
+            level, trend, err_sum = float(level), float(trend), float(err_sum)
+            n, n_hours, last = int(n), int(n_hours), int(last)
+            started = True
+        else:
+            level, trend, err_sum, n, n_hours, last = 0.0, 0.0, 0.0, 0, 0, -1
+            started = False
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("hour_epoch")
+        for r in rows.itertuples(index=False):
+            he, x = int(r.hour_epoch), float(int(r.x))
+            if he <= last:
+                continue  # replayed hour: already folded
+            if not started:
+                level = x
+                started = True
+            else:
+                err_sum = err_sum + abs(x - (level + trend))
+                n += 1
+                new_l = _round12(0.5 * x + 0.5 * (level + trend))
+                trend = _round12(0.25 * (new_l - level) + 0.75 * trend)
+                level = new_l
+            n_hours += 1
+            last = he
+        state.update((level, trend, err_sum, n, n_hours, last))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_hours": [n_hours],
+                "level_final": [_round6(level)],
+                "trend_final": [_round6(trend)],
+                "forecast_next": [_round6(level + trend)],
+                "mae_one_step": [_round6(err_sum / n) if n > 0 else None],
+            }
+        )
+
+    return hour_counts.groupBy("event_type").applyInPandasWithState(
+        fn,
+        HOLT_OUTPUT_SCHEMA,
+        HOLT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _round6(x: float) -> float:
+    """F.round(x, 6) twin (HALF_UP over shortest repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
