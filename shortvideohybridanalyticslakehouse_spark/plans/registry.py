@@ -128,6 +128,9 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext84,
         queries_ext85,
         queries_ext86,
+        queries_ext87,
+        queries_ext88,
+        queries_ext89,
     )
 
     return REGISTRY
