@@ -131,6 +131,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext87,
         queries_ext88,
         queries_ext89,
+        queries_ext90,
     )
 
     return REGISTRY
