@@ -132,6 +132,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext88,
         queries_ext89,
         queries_ext90,
+        queries_ext91,
     )
 
     return REGISTRY
