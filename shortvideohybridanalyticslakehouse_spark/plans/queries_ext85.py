@@ -65,9 +65,17 @@ def q_term_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (document-presence counts; pruned-postings self-join; one exact-int
     ratio through ln)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
-    ).distinct()
+    # materialize the tokenized postings ONCE: df stats, both self-join
+    # sides, and the corpus count all reuse it (plan audit showed 5
+    # tokenize scans / 18 exchanges without this — tokenization is the
+    # CPU-heavy stage, everything downstream is narrow)
+    tok = (
+        docs.select(
+            "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     top = df.orderBy(F.col("c").desc(), F.col("term").asc()).limit(_TOP_TERMS)
     pruned = tok.join(F.broadcast(top), "term")
