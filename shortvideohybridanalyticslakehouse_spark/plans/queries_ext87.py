@@ -70,21 +70,23 @@ FROM terms
 """
 
 
-@register("value_distribution_psi", _PSI_ORACLE)
-def q_value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI between the reference (view) and current (click) value
-    distributions over 10 reference-anchored equal-width cent bins,
-    Laplace smoothed, summed through an ordered fold."""
-    ev = load_table(spark, sf_dir, "events")
-    vals = ev.filter(F.col("event_type").isin(_REF, _CUR)).select(
+def psi_values(ev: DataFrame) -> DataFrame:
+    """Project the two populations to exact cents (shared by batch query
+    and the streaming drift twin)."""
+    return ev.filter(F.col("event_type").isin(_REF, _CUR)).select(
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents"),
     )
-    anchor = vals.filter(F.col("event_type") == _REF).agg(
-        F.min("cents").alias("lo"), F.max("cents").alias("hi")
-    )
+
+
+def psi_bin_counts(vals: DataFrame, anchor: DataFrame) -> DataFrame:
+    """Reference-anchored equal-width binning -> per-bin (c_ref, c_cur)
+    counts. ADDITIVE across any partition of the input (plain integer
+    sums), which is what makes the streaming twin a trivial merge.
+    ``anchor`` is a 1-row (lo, hi) frame — data-derived in batch, a
+    frozen baseline in streaming."""
     binned = vals.crossJoin(F.broadcast(anchor)).select(
         "event_type",
         F.least(
@@ -97,7 +99,7 @@ def q_value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bin"),
     )
-    counts = binned.groupBy("bin").agg(
+    return binned.groupBy("bin").agg(
         F.sum(F.when(F.col("event_type") == _REF, 1).otherwise(0))
         .cast("bigint")
         .alias("c_ref"),
@@ -105,6 +107,25 @@ def q_value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c_cur"),
     )
+
+
+@register("value_distribution_psi", _PSI_ORACLE)
+def q_value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the reference (view) and current (click) value
+    distributions over 10 reference-anchored equal-width cent bins,
+    Laplace smoothed, summed through an ordered fold."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = psi_values(ev)
+    anchor = vals.filter(F.col("event_type") == _REF).agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    counts = psi_bin_counts(vals, anchor)
+    return psi_report(counts)
+
+
+def psi_report(counts: DataFrame) -> DataFrame:
+    """(bin, c_ref, c_cur) -> the (n_ref, n_cur, psi) report: zero-fill
+    missing bins, Laplace smooth, ordered fold (shared batch/stream)."""
     # pack the tiny bin frame, zero-fill the missing bins, fold in order
     packed = counts.agg(
         F.sum("c_ref").alias("n_ref"),
