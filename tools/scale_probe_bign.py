@@ -1,0 +1,177 @@
+"""Big-N synthetic scale probe: run the engine's core operators over a
+JVM-GENERATED event stream orders of magnitude past sf0.1 (600k events)
+— measured evidence that the plan shapes survive 100x-1000x, not just
+the per-SF ratio tables.
+
+The frame derives entirely from spark.range(N) + deterministic hash
+columns (xxhash64 scan-side): no files, no Python in the data path, so
+the probe measures the OPERATORS — shuffle, window, agg — at the target
+row count. This is the harness a 1000-executor cluster run would use
+with N raised and master swapped; on local[32] the absolute numbers are
+single-node, the point is the SHAPE (flat rows/sec as N grows).
+
+Probed operators (the engine's hot paths, real package code):
+  tumbling_1min   operators/aggregate.tumbling_window_agg (flagship agg)
+  rolling_30m     operators/rolling.rolling_range_sums over per-user
+                  1-min frames (flagship window)
+  latest_per_key  operators/dedup.latest_per_key (CDC winner)
+  distinct_users  exact countDistinct
+  topk            TakeOrderedAndProject
+
+Usage: [N_ROWS=100000000] [SVH_DRIVER_MEMORY=48g] python tools/scale_probe_bign.py
+Prints one JSON line per N with secs + rows/sec per operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.operators.aggregate import (
+    tumbling_window_agg,
+)
+from shortvideohybridanalyticslakehouse_spark.operators.dedup import latest_per_key
+from shortvideohybridanalyticslakehouse_spark.operators.rolling import (
+    rolling_range_sums,
+)
+from shortvideohybridanalyticslakehouse_spark.session import get_spark
+
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+_BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (micros)
+
+
+def synth_events(spark, n: int, n_users: int, n_videos: int):
+    """Deterministic JVM-side event frame over a FIXED 24 h span (the
+    realistic scale axis for this engine is events/sec, not calendar
+    growth — the reference's SLO is stated per second), hash-assigned
+    user (high cardinality) and video (dim-like cardinality) keys."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(_BASE_US)
+            + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(86_400_000)) * 1000
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_users)).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(n_videos)).alias("video_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TYPES]),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(100_000)).cast("double")
+            / 100.0
+        ).alias("value"),
+    )
+
+
+def main() -> None:
+    n = int(os.environ.get("N_ROWS", "10000000"))
+    n_users = int(os.environ.get("N_USERS", str(max(n // 1000, 1000))))
+    n_videos = int(os.environ.get("N_VIDEOS", str(max(n // 20_000, 100))))
+    spark = get_spark("svh-bign-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = synth_events(spark, n, n_users, n_videos)
+
+    def timed(fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        return round(dt, 2), out
+
+    results: dict[str, dict] = {}
+
+    def run(name, fn):
+        secs, extra = timed(fn)
+        results[name] = {
+            "secs": secs,
+            "rows_per_sec": int(n / secs) if secs else None,
+            **(extra or {}),
+        }
+
+    run(
+        "tumbling_1min",
+        lambda: (
+            lambda df: {"out_rows": df.count()}
+        )(
+            tumbling_window_agg(
+                ev,
+                ts_col="ts",
+                key_cols=["event_type"],
+                window_duration="1 minute",
+                count_conditions={
+                    "n_events": F.lit(True),
+                    "n_purchases": F.col("event_type") == "purchase",
+                },
+                sum_exprs={"value_sum": F.col("value")},
+            )
+        ),
+    )
+    # rolling over the per-(video, minute) GOLD grain — the flagship
+    # two-stage shape: the tumbling agg reduces events to key x minute
+    # first (n_videos x 1440 cells for the 24 h span), then the 30-min
+    # range window runs over the REDUCED frame. Windowing raw events
+    # would be the anti-pattern; this is the shape the serving pipeline
+    # actually executes (plans/serving.py).
+    per_min = ev.groupBy(
+        "video_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    run(
+        "rolling_30m_gold",
+        lambda: {
+            "out_rows": rolling_range_sums(
+                per_min,
+                partition_cols=["video_id"],
+                ts_col="minute",
+                sum_cols=["n", "v"],
+                minutes=30,
+            ).count()
+        },
+    )
+    run(
+        "latest_per_key",
+        lambda: {
+            "out_rows": latest_per_key(
+                ev, ["user_id"], order_cols=["ts", "event_id"]
+            ).count()
+        },
+    )
+    run(
+        "distinct_users",
+        lambda: {
+            "distinct": ev.select(
+                F.countDistinct("user_id").alias("d")
+            ).first()["d"]
+        },
+    )
+    run(
+        "topk",
+        lambda: {
+            "out_rows": len(
+                ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+                .limit(100)
+                .collect()
+            )
+        },
+    )
+
+    print(
+        json.dumps(
+            {
+                "n_rows": n,
+                "n_users": n_users,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "results": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
