@@ -133,6 +133,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext89,
         queries_ext90,
         queries_ext91,
+        queries_ext92,
     )
 
     return REGISTRY
