@@ -83,23 +83,25 @@ def q_bigram_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mean bigram-LM surprise (floored micro units; see
     module docstring for the determinism ladder)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.posexplode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).alias("pos", "term"),
-        )
-        .localCheckpoint(eager=True)  # reused 4x (uni, both join sides)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    ).localCheckpoint(eager=True)  # one tokenize pass feeds uni, N, bigrams
+    tok = toks.select(
+        "doc_id", F.explode(F.col("toks")).alias("term")
     )
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     n_tok = tok.agg(F.count(F.lit(1)).alias("n"))
-    a = tok.select("doc_id", "source", "pos", F.col("term").alias("v"))
-    b = tok.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("w")
+    # bigrams map-side from the token array (the phrase-search idiom) —
+    # no (doc_id, pos) self-join shuffle
+    pairs = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " (x, i) -> struct(i AS pos, x AS v, toks[i + 1] AS w))"
     )
-    big = a.join(b, ["doc_id", "pos"])
+    big = toks.select(
+        "doc_id", "source", F.explode(pairs).alias("p")
+    ).select("doc_id", "source", "p.pos", "p.v", "p.w")
     bigc = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
     scored = (
         big.join(bigc, ["v", "w"])
