@@ -134,6 +134,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext90,
         queries_ext91,
         queries_ext92,
+        queries_ext93,
     )
 
     return REGISTRY
