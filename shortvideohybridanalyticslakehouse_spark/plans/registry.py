@@ -135,6 +135,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext91,
         queries_ext92,
         queries_ext93,
+        queries_ext94,
     )
 
     return REGISTRY
