@@ -969,18 +969,35 @@ def int_gram_stats(
     DuckDB's scan order produce the SAME covariance numerators, unlike
     float accumulation. Overflow headroom: |x_q| <= scale, so
     |sum x_qi x_qj| <= n * scale^2 — at scale 1e6 that caps n at ~9e6
-    rows per full-precision build; larger corpora drop scale to 1e4-1e5
-    (documented contract, asserted here).
+    rows per full-precision build; larger corpora drop scale to 1e4-1e5.
+    The cap is enforced in two layers: each partition raises past
+    n_max = (2**63-1) // scale**2 local rows (partial sums would wrap
+    first there), and the final cross-partition SUM runs under Spark 4's
+    default ANSI mode, where int64 overflow raises instead of wrapping.
+
+    Quantization is floor(x * scale + 0.5) — half-up, NOT banker's
+    rounding — to match the DuckDB oracle's CAST(FLOOR(x*scale + 0.5) AS
+    BIGINT) exactly on .5 ties (see queries_ext83 docstring).
     """
     import numpy as np
     import pandas as pd
 
+    n_max = (2**63 - 1) // (scale * scale)
+
     def stats(batches):
+        seen = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.rint(
+            seen += len(pdf)
+            if seen > n_max:
+                raise ValueError(
+                    f"int_gram_stats overflow headroom exceeded: partition has "
+                    f"{seen} rows > n_max={n_max} at scale={scale}; lower scale"
+                )
+            mat = np.floor(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+                + 0.5
             ).astype(np.int64)
             gram = mat.T @ mat  # dim x dim int64 — exact
             marg = mat.sum(axis=0)

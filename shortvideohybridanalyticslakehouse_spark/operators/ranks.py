@@ -70,6 +70,12 @@ def with_tiny_rank(
       a count and violations raise; production plans skip the extra action.
     """
     order = [(c, d.lower()) for c, d in order]
+    if not order:
+        raise ValueError(
+            "with_tiny_rank requires a non-empty order: an empty order "
+            "leaves the self-join predicate None (a cross join) and every "
+            "row would silently get rank k+1"
+        )
     for _, d in order:
         if d not in ("asc", "desc"):
             raise ValueError(f"direction must be asc|desc, got {d!r}")

@@ -138,3 +138,144 @@ def test_replay_is_idempotent(spark, tmp_path):
     got = _canon(spark.read.parquet(table))
     want = _canon(_batch_bands(spark))
     assert got == want
+
+
+def _dir_fingerprint(path):
+    """(relative name, size, content-hash, mtime_ns) for every file under
+    path — byte-identical AND not-rewritten means all four match."""
+    import hashlib
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            with open(p, "rb") as fh:
+                h = hashlib.sha256(fh.read()).hexdigest()
+            out.append((os.path.relpath(p, path), st.st_size, h, st.st_mtime_ns))
+    return sorted(out)
+
+
+def _bucket_of(spark, user_id, n_buckets):
+    from shortvideohybridanalyticslakehouse_spark.streaming.scd2 import _bucket_expr
+
+    df = spark.createDataFrame([(user_id,)], "user_id long")
+    return df.select(_bucket_expr(n_buckets).alias("b")).collect()[0]["b"]
+
+
+def _changes_df(spark, rows):
+    df = spark.createDataFrame(
+        [(u, f"2026-03-01 00:{m:02d}:00", e, s) for u, m, e, s in rows],
+        "user_id long, ts string, event_id long, state string",
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    """A batch rewrites ONLY the buckets it touches: per-batch cost is
+    O(batch + touched buckets), not O(table) (VERDICT r6 #1)."""
+    from shortvideohybridanalyticslakehouse_spark.streaming.scd2 import (
+        _bucket_dir,
+        merge_scd2_batch,
+    )
+
+    n_buckets = 16
+    u_a, u_b = 1, None
+    b_a = _bucket_of(spark, u_a, n_buckets)
+    for cand in range(2, 200):
+        if _bucket_of(spark, cand, n_buckets) != b_a:
+            u_b = cand
+            break
+    assert u_b is not None
+    b_b = _bucket_of(spark, u_b, n_buckets)
+
+    table = os.path.join(str(tmp_path), "dim_bands")
+    merge_scd2_batch(
+        spark,
+        _changes_df(spark, [(u_a, 0, 100, "view"), (u_b, 1, 200, "signup")]),
+        table,
+        0,
+        n_buckets,
+    )
+    fp_a_before = _dir_fingerprint(_bucket_dir(table, b_a))
+    # batch 1 touches ONLY u_b's bucket
+    merge_scd2_batch(
+        spark, _changes_df(spark, [(u_b, 3, 201, "click")]), table, 1, n_buckets
+    )
+    assert _dir_fingerprint(_bucket_dir(table, b_a)) == fp_a_before
+    # and u_b's bucket DID change (new band + marker)
+    names_b = {f for f, *_ in _dir_fingerprint(_bucket_dir(table, b_b))}
+    assert "_applied_batch_1" in names_b
+    # full table still equals the batch builder over the whole history
+    want = _canon(
+        scd2_bands(
+            _changes_df(
+                spark,
+                [(u_a, 0, 100, "view"), (u_b, 1, 200, "signup"), (u_b, 3, 201, "click")],
+            )
+        )
+    )
+    got = _canon(spark.read.parquet(table).select("user_id", "state", "valid_from", "valid_to"))
+    assert got == want
+
+
+def test_torn_swap_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the bucket absent and
+    _old_bucket_N present; recovery restores it, and the in-flight batch
+    (marker absent from the restored dir) re-applies (ADVICE r6)."""
+    from shortvideohybridanalyticslakehouse_spark.streaming.scd2 import (
+        _bucket_dir,
+        merge_scd2_batch,
+        recover_table,
+    )
+
+    n_buckets = 16
+    u = 1
+    b = _bucket_of(spark, u, n_buckets)
+    table = os.path.join(str(tmp_path), "dim_bands")
+    merge_scd2_batch(
+        spark, _changes_df(spark, [(u, 0, 100, "view")]), table, 0, n_buckets
+    )
+    live = _bucket_dir(table, b)
+    fp = _dir_fingerprint(live)
+    # crash window A: between rename(live, old) and rename(tmp, live)
+    os.rename(live, os.path.join(table, f"_old_bucket_{b}"))
+    recover_table(table)
+    assert _dir_fingerprint(live) == fp  # closed bands + markers restored
+    # the torn batch then re-applies cleanly (marker not present yet)
+    merge_scd2_batch(
+        spark, _changes_df(spark, [(u, 2, 101, "click")]), table, 1, n_buckets
+    )
+    want = _canon(
+        scd2_bands(_changes_df(spark, [(u, 0, 100, "view"), (u, 2, 101, "click")]))
+    )
+    got = _canon(spark.read.parquet(table).select("user_id", "state", "valid_from", "valid_to"))
+    assert got == want
+    # crash window B: after the second rename (leftover _old + live both
+    # present) -> recovery discards the leftover, live dir untouched
+    import shutil as _sh
+
+    _sh.copytree(live, os.path.join(table, f"_old_bucket_{b}"))
+    fp2 = _dir_fingerprint(live)
+    recover_table(table)
+    assert not os.path.exists(os.path.join(table, f"_old_bucket_{b}"))
+    assert _dir_fingerprint(live) == fp2
+
+
+def test_replayed_batch_skips_committed_buckets(spark, tmp_path):
+    """Exactly-once per bucket: re-running a committed batch id is a
+    no-op (marker present), even file-for-file."""
+    from shortvideohybridanalyticslakehouse_spark.streaming.scd2 import (
+        _bucket_dir,
+        merge_scd2_batch,
+    )
+
+    n_buckets = 16
+    u = 1
+    b = _bucket_of(spark, u, n_buckets)
+    table = os.path.join(str(tmp_path), "dim_bands")
+    changes = _changes_df(spark, [(u, 0, 100, "view"), (u, 2, 101, "click")])
+    merge_scd2_batch(spark, changes, table, 0, n_buckets)
+    fp = _dir_fingerprint(_bucket_dir(table, b))
+    merge_scd2_batch(spark, changes, table, 0, n_buckets)  # replay
+    assert _dir_fingerprint(_bucket_dir(table, b)) == fp
