@@ -115,20 +115,26 @@ def main() -> None:
     load_end = loadavg()
     total = round(sum(timings.values()), 3)
     spread_sorted = sorted(spreads.values())
+    # Key order matters: the driver records only the LAST ~2 KB of this
+    # line, so `queries` (the medians) must be the FINAL key — through r6
+    # the spread dict came after it, and every recorded BENCH_r*.json tail
+    # was silently a spread dict that readers (r5 judge included) took for
+    # medians (VERDICT r6 finding #2). Small scalars first, spreads next,
+    # medians last.
     payload = {
         "metric": "total_wall_seconds_all_queries",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "trials_per_query": TRIALS,
         "timing": "median_of_trials",
-        "query_spread_max_minus_min": spreads,
         "spread_p90": spread_sorted[int(0.9 * (len(spread_sorted) - 1))]
         if spread_sorted
         else None,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        "query_spread_max_minus_min": spreads,
+        "queries": timings,
     }
     print(json.dumps(payload))
     # Persist the FULL per-query detail into the repo (VERDICT r5 #3): the
