@@ -170,3 +170,62 @@ def test_dynamic_partition_pruning_on_filtered_dim_join(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.collect()[0]["count"] == 334
+
+
+def test_bucketed_gold_windows_without_exchange(spark, tmp_path):
+    """VERDICT r6 #4: the 30-min rolling window over a gold minute grain
+    published with write_bucketed_sorted_table(bucket key) must plan with
+    ZERO Exchange — the bucketed layout, not a shuffle, provides the
+    PARTITION BY clustering — and produce the identical result to the
+    same window over the unbucketed frame."""
+    from shortvideohybridanalyticslakehouse_spark.operators.rolling import (
+        rolling_range_sums,
+    )
+    from shortvideohybridanalyticslakehouse_spark.plans.ddl import (
+        write_bucketed_sorted_table,
+    )
+
+    gold = (
+        spark.range(0, 5000)
+        .select(
+            F.pmod(F.col("id"), F.lit(50)).alias("video_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") / 50).cast("long") * 60
+            ).alias("minute"),
+            (F.col("id") % 7).cast("double").alias("n"),
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS gold_minute_bkt")
+    try:
+        write_bucketed_sorted_table(
+            gold, "gold_minute_bkt", "video_id", ["minute"], n_buckets=8
+        )
+        rolled = rolling_range_sums(
+            spark.table("gold_minute_bkt"),
+            partition_cols=["video_id"],
+            ts_col="minute",
+            sum_cols=["n"],
+            minutes=30,
+        )
+        plan = rolled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Window" in plan
+        want = sorted(
+            (r.video_id, str(r.minute), r.n_30m)
+            for r in rolling_range_sums(
+                gold, ["video_id"], "minute", ["n"], minutes=30
+            ).collect()
+        )
+        got = sorted(
+            (r.video_id, str(r.minute), r.n_30m) for r in rolled.collect()
+        )
+        assert got == want
+        # one file per bucket: the precondition for scan-reported ordering
+        import os as _os
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        tdir = _os.path.join(wh, "gold_minute_bkt")
+        data = [f for f in _os.listdir(tdir) if f.endswith(".parquet")]
+        assert len(data) == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gold_minute_bkt")

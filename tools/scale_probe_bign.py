@@ -121,18 +121,69 @@ def main() -> None:
     per_min = ev.groupBy(
         "video_id", F.date_trunc("minute", F.col("ts")).alias("minute")
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    # Action = aggregate over the WINDOW OUTPUT columns, not count():
+    # Catalyst prunes a Window whose expressions are unused, so
+    # .count() silently measures only the upstream agg (probe-integrity
+    # bug found in round 7 — the r6 "88 s rolling at 100M" row measured
+    # the gold-grain materialization, not the window).
+    def _consume_rolled(rolled):
+        row = rolled.groupBy().agg(
+            F.count(F.lit(1)).alias("out_rows"),
+            F.sum("n_30m").alias("checksum_n30m"),
+        ).first()
+        return {"out_rows": row["out_rows"], "checksum_n30m": row["checksum_n30m"]}
+
     run(
         "rolling_30m_gold",
-        lambda: {
-            "out_rows": rolling_range_sums(
+        lambda: _consume_rolled(
+            rolling_range_sums(
                 per_min,
                 partition_cols=["video_id"],
                 ts_col="minute",
                 sum_cols=["n", "v"],
                 minutes=30,
-            ).count()
-        },
+            )
+        ),
     )
+
+    # VERDICT r6 #4: the same window over a BUCKETED gold layout — the
+    # one-time publish (write, amortized across every serving read) is
+    # timed separately from the read-path window, which must plan with NO
+    # Exchange: clustering comes from the bucket(16, video_id) layout,
+    # mirroring the reference (rt_content_events_aggregator_sql.py:107).
+    from shortvideohybridanalyticslakehouse_spark.plans.ddl import (
+        write_bucketed_sorted_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS probe_gold_minute_bkt")
+    run(
+        "gold_publish_bucketed",
+        lambda: (
+            write_bucketed_sorted_table(
+                per_min, "probe_gold_minute_bkt", "video_id", ["minute"], 16
+            )
+            or {"out_rows": None}
+        ),
+    )
+
+    def _rolling_bucketed():
+        rolled = rolling_range_sums(
+            spark.table("probe_gold_minute_bkt"),
+            partition_cols=["video_id"],
+            ts_col="minute",
+            sum_cols=["n", "v"],
+            minutes=30,
+        )
+        # plan check on the WINDOW subtree itself (pre-final-agg), where
+        # the Exchange would sit if bucketing failed to provide clustering
+        plan = rolled._jdf.queryExecution().executedPlan().toString()
+        out = _consume_rolled(rolled)
+        out["exchange_before_window"] = "Exchange" in plan
+        out["window_in_plan"] = "Window" in plan
+        return out
+
+    run("rolling_30m_bucketed", _rolling_bucketed)
+    spark.sql("DROP TABLE IF EXISTS probe_gold_minute_bkt")
     run(
         "latest_per_key",
         lambda: {
