@@ -108,26 +108,21 @@ def q_mulaw_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins them against the REAL decoded output per (doc, sample index) —
     so the measured error comes from actual codec bytes, while the
     oracle derives it analytically. Max error must stay within the
-    largest mu-law segment step for the +-4000 fixture range."""
+    largest mu-law segment step for the +-4000 fixture range.
+
+    Scale note (round 7, found by tools/shuffle_gate.py): the original
+    sample is CLOSED-FORM in (doc_id, i), so it is computed inline on
+    the decoded frame — the earlier per-(doc, sample) self-join
+    broadcast a posexplode side whose size Catalyst estimated from the
+    tiny docs scan (352 MB actual at sf0.1: a driver OOM at 100x)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.synthetic_mulaw_payloads(docs, "doc_id")
 
     decoded = multimodal.wav_decoded_samples(payloads, "doc_id")
-    orig = (
-        docs
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(0, (300 + doc_id % 201) * (1 + doc_id % 2) - 1),"
-                " i -> ((doc_id * 53 + i * 29) % 8001) - 4000)"
-            ).alias("orig"),
-        )
-        .select(
-            "doc_id",
-            F.posexplode("orig").alias("i", "smp"),
-        )
+    j = decoded.withColumn(
+        "smp",
+        F.expr("((doc_id * 53 + i * 29) % 8001) - 4000"),
     )
-    j = decoded.join(orig, ["doc_id", "i"])
     return j.agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum(F.abs(F.col("dec") - F.col("smp"))).cast("bigint").alias(

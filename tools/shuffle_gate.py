@@ -25,6 +25,14 @@ unchanged-code predicate for gating).
 Exit status: 0 = within bounds (or artifact freshly recorded),
 1 = regression. Changed-module growth is reported but NOT fatal — a
 deliberate rework owns its new baseline via --record.
+
+Known limitation: queries that localCheckpoint their result (the
+iterative graph family) truncate the traversable plan at the checkpoint
+scan, so their exchanges report as 0 — their shuffle volume is bounded
+by the fixed-round loop structure audited in PLANS.md instead. First
+fruit of the gate (round 7): multimodal_mulaw_quant_error was
+broadcasting a 352 MB misestimated posexplode side; the join is now a
+closed-form inline column (see queries_ext62.py).
 """
 
 from __future__ import annotations
@@ -147,9 +155,16 @@ def main() -> int:
         )
 
     if record or not os.path.exists(artifact):
+        merged = {}
+        if os.path.exists(artifact):
+            with open(artifact) as f:
+                merged = json.load(f).get("queries", {})
+        merged.update(current)  # subset --record refreshes, never clobbers
         with open(artifact, "w") as f:
-            json.dump({"sf_dir": sf_dir, "queries": current}, f, indent=1, sort_keys=True)
-        print(f"RECORDED {len(current)} queries -> {artifact}")
+            json.dump(
+                {"sf_dir": sf_dir, "queries": merged}, f, indent=1, sort_keys=True
+            )
+        print(f"RECORDED {len(current)} queries -> {artifact} ({len(merged)} total)")
         return 0
 
     with open(artifact) as f:
