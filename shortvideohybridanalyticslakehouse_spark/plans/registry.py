@@ -136,6 +136,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext92,
         queries_ext93,
         queries_ext94,
+        queries_ext95,
     )
 
     return REGISTRY
