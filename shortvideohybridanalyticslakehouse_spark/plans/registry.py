@@ -137,6 +137,8 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext93,
         queries_ext94,
         queries_ext95,
+        queries_ext96,
+        queries_ext97,
     )
 
     return REGISTRY
