@@ -139,6 +139,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext95,
         queries_ext96,
         queries_ext97,
+        queries_ext98,
     )
 
     return REGISTRY
