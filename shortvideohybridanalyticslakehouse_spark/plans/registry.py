@@ -140,6 +140,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext96,
         queries_ext97,
         queries_ext98,
+        queries_ext99,
     )
 
     return REGISTRY
