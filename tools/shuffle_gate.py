@@ -59,8 +59,8 @@ TOP_N = 20
 EXTRA = ["flagship_decision_context", "rolling_30m_metrics", "events_1min_agg"]
 GROWTH_BAR = 2.0
 # below this, absolute byte jitter (AQE coalescing, row-group boundaries)
-# dominates and a ratio is noise, not signal
-MIN_GATED_BYTES = 1_000_000
+# dominates and a ratio is noise, not signal (env override for tests)
+MIN_GATED_BYTES = int(os.environ.get("SVH_SHUFFLE_MIN_BYTES", "1000000"))
 
 
 def _module_hash(fn) -> str:
@@ -132,7 +132,7 @@ def main() -> int:
     record = "--record" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    artifact = os.path.join(
+    artifact = os.environ.get("SVH_SHUFFLE_ARTIFACT") or os.path.join(
         _REPO, "tools", f"shuffle_metrics_sf{sf_tag}.json"
     )
 
