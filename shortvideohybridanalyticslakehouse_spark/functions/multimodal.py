@@ -2707,3 +2707,252 @@ def wav_decoded_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, WAV_SAMPLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4 / WAVE_FORMAT_IMA_ADPCM 0x11) — round 7. A genuinely
+# STATEFUL codec: every 4-bit nibble is quantized against a (predictor,
+# step-index) pair that the previous nibble mutated, so one wrong bit
+# anywhere corrupts the entire tail — exactly the property the SQL
+# oracle exploits by replaying the whole encode+decode fold per doc
+# (list-accumulator list_reduce; all integer arithmetic).
+# ---------------------------------------------------------------------------
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, sample: int) -> tuple[int, int, int]:
+    """One IMA ADPCM encode step: quantize (sample - pred) to a 4-bit
+    code against step_table[idx], return (code, new_pred, new_idx) with
+    the DECODER's reconstruction (so encoder and decoder predictors stay
+    in lockstep — the spec's defining property)."""
+    step = IMA_STEP_TABLE[idx]
+    diff = sample - pred
+    code = 0
+    if diff < 0:
+        code = 8
+        diff = -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    diffq = step >> 3
+    if code & 4:
+        diffq += step
+    if code & 2:
+        diffq += step >> 1
+    if code & 1:
+        diffq += step >> 2
+    pred = pred - diffq if code & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[code & 7]))
+    return code, pred, idx
+
+
+def adpcm_encode(samples) -> tuple[int, bytes]:
+    """Encode an int sequence as one IMA ADPCM block body: 4-byte header
+    (predictor = exact first sample, step index 0, reserved) + low-first
+    nibble pairs for samples[1:]. Returns (n_samples, block_bytes)."""
+    import numpy as np
+
+    s = [int(v) for v in np.asarray(samples, dtype=np.int64)]
+    if not s:
+        return 0, b""
+    pred = max(-32768, min(32767, s[0]))
+    idx = 0
+    out = bytearray()
+    out += int(pred & 0xFFFF).to_bytes(2, "little")
+    out.append(idx)
+    out.append(0)
+    nibbles = []
+    for v in s[1:]:
+        code, pred, idx = _ima_step(pred, idx, v)
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)  # pad nibble, ignored via samples_per_block
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return len(s), bytes(out)
+
+
+def adpcm_decode_block(block: bytes, n_samples: int):
+    """Decode one IMA ADPCM block body back to int16 samples."""
+    import numpy as np
+
+    if n_samples == 0 or len(block) < 4:
+        return np.zeros(0, dtype=np.int16)
+    pred = int.from_bytes(block[0:2], "little", signed=False)
+    if pred >= 32768:
+        pred -= 65536
+    idx = block[2]
+    out = [pred]
+    need = n_samples - 1
+    for b in block[4:]:
+        for code in (b & 0x0F, b >> 4):
+            if need == 0:
+                break
+            step = IMA_STEP_TABLE[idx]
+            diffq = step >> 3
+            if code & 4:
+                diffq += step
+            if code & 2:
+                diffq += step >> 1
+            if code & 1:
+                diffq += step >> 2
+            pred = pred - diffq if code & 8 else pred + diffq
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + IMA_INDEX_TABLE[code & 7]))
+            out.append(pred)
+            need -= 1
+    return np.asarray(out, dtype=np.int16)
+
+
+def encode_wav_adpcm(sample_rate: int, samples) -> bytes:
+    """RIFF/WAVE container, WAVE_FORMAT_IMA_ADPCM (0x11), mono, ONE block
+    spanning the data chunk (a valid degenerate blocking); the fmt
+    extension carries samples_per_block so decode is exact, padding
+    nibble and all."""
+    n, block = adpcm_encode(samples)
+
+    def _le(v: int, nb: int) -> bytes:
+        return int(v).to_bytes(nb, "little")
+
+    block_align = len(block)
+    fmt = (
+        b"fmt "
+        + _le(20, 4)
+        + _le(0x11, 2)  # WAVE_FORMAT_IMA_ADPCM
+        + _le(1, 2)  # mono
+        + _le(sample_rate, 4)
+        + _le(max(1, (sample_rate * block_align) // max(n, 1)), 4)
+        + _le(block_align, 2)
+        + _le(4, 2)  # bits per (encoded) sample
+        + _le(2, 2)  # cbSize
+        + _le(n, 2)  # samples per block
+    )
+    data = b"data" + _le(len(block), 4) + block + (
+        b"\x00" if len(block) % 2 else b""
+    )
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + _le(len(body), 4) + body
+
+
+def decode_wav_adpcm(payload: bytes):
+    """Parse + decode a mono IMA ADPCM WAV produced by encode_wav_adpcm
+    (single block; samples_per_block from the fmt extension). Returns
+    (sample_rate, n_samples, int16 samples)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    i = 12
+    end = min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size % 2)
+    if fmt is None or data is None or len(fmt) < 20:
+        raise ValueError("WAV missing fmt/data chunk")
+    if int.from_bytes(fmt[0:2], "little") != 0x11:
+        raise ValueError("not IMA ADPCM")
+    if int.from_bytes(fmt[2:4], "little") != 1:
+        raise ValueError("only mono IMA ADPCM supported here")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    n = int.from_bytes(fmt[18:20], "little")
+    return sample_rate, n, adpcm_decode_block(data, n)
+
+
+def synthetic_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic IMA ADPCM fixtures (mono):
+
+        sample_rate = 8000 + (id % 3) * 4000
+        n_samples   = 240 + id % 161
+        sample i    = ((id * 53 + i * 29) % 8001) - 4000
+
+    — the mu-law fixture contract with a stateful codec behind it. The
+    SQL oracle replays the full encode+decode fold from the closed-form
+    samples, so the actual bytes and the analytic replay must agree on
+    every reconstructed sample."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                rate = 8000 + (d % 3) * 4000
+                n = 240 + d % 161
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 53 + i * 29) % 8001) - 4000
+                payloads.append(encode_wav_adpcm(rate, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+ADPCM_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("i", IntegerType()),
+        StructField("dec", IntegerType()),
+    ]
+)
+
+
+def adpcm_decoded_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sample index, reconstructed int16) rows from real ADPCM
+    bytes — numpy explode inside the Arrow lane, same shape as
+    wav_decoded_samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, vals = [], [], []
+            for d, p in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                _, _, dec = decode_wav_adpcm(bytes(p))
+                flat = dec.astype(np.int64)
+                ids.append(np.full(flat.size, int(d), dtype=np.int64))
+                idxs.append(np.arange(flat.size, dtype=np.int32))
+                vals.append(flat.astype(np.int32))
+            if not ids:
+                yield pd.DataFrame({"doc_id": [], "i": [], "dec": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "i": np.concatenate(idxs),
+                    "dec": np.concatenate(vals),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        batches, ADPCM_SAMPLES_SCHEMA
+    )

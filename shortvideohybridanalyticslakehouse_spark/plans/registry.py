@@ -141,6 +141,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext97,
         queries_ext98,
         queries_ext99,
+        queries_ext100,
     )
 
     return REGISTRY
