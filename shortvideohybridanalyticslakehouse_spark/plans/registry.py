@@ -142,6 +142,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext98,
         queries_ext99,
         queries_ext100,
+        queries_ext101,
     )
 
     return REGISTRY
