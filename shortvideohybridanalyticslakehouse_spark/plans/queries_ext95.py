@@ -117,7 +117,12 @@ LIMIT 50
 
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, npos, wmin) distinct winnowing fingerprints."""
-    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints_df(load_table(spark, sf_dir, "documents"))
+
+
+def winnowing_fingerprints_df(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint frame over any (doc_id, text) DataFrame —
+    shared by the oracle queries and the scale probe."""
     d = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("s"),

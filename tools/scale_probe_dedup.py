@@ -105,8 +105,50 @@ def main() -> None:
                 f, "doc_id", "simhash", k=20
             ).count()
 
+        def winnowing():
+            # Probe-local cap/threshold: the clone fixture salts every
+            # token with ONE group id, so each group's docs share far
+            # more k-grams than a real crawl and the engine's default
+            # 64-doc hot cap filters the evidence — the probe widens the
+            # cap to keep pair volume observable; the engine constants
+            # are unchanged (queries_ext95). The probe's signal is the
+            # WALL-TIME scaling of the fingerprint+bucket-join shape.
+            from shortvideohybridanalyticslakehouse_spark.plans.queries_ext95 import (
+                _POS_PACK,
+                winnowing_fingerprints_df,
+            )
+
+            probe_cap, probe_min_shared = 256, 2
+            fps = winnowing_fingerprints_df(docs)
+            hashes = fps.select(
+                "doc_id",
+                (F.col("wmin") / _POS_PACK).cast("bigint").alias("fph"),
+            ).distinct()
+            buck = (
+                hashes.groupBy("fph")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(
+                    (F.col("n_docs") >= 2) & (F.col("n_docs") <= probe_cap)
+                )
+                .select("fph")
+            )
+            bounded = hashes.join(buck, "fph")
+            pairs = (
+                bounded.alias("a")
+                .join(
+                    bounded.alias("b"),
+                    (F.col("a.fph") == F.col("b.fph"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+                .agg(F.countDistinct(F.col("a.fph")).alias("shared"))
+                .filter(F.col("shared") >= probe_min_shared)
+            )
+            return pairs.count()
+
         time_action("minhash-LSH verify pipeline", near_dup)
         time_action("simhash bucket top-k", simhash_topk)
+        time_action("winnowing fingerprint dup pairs", winnowing)
         docs.unpersist()
 
 
