@@ -143,6 +143,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext99,
         queries_ext100,
         queries_ext101,
+        queries_ext102,
     )
 
     return REGISTRY
