@@ -144,6 +144,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext100,
         queries_ext101,
         queries_ext102,
+        queries_ext103,
     )
 
     return REGISTRY
