@@ -184,6 +184,36 @@ def main() -> None:
 
     run("rolling_30m_bucketed", _rolling_bucketed)
     spark.sql("DROP TABLE IF EXISTS probe_gold_minute_bkt")
+
+    # Same layout lever on the CDC winner: events bucketed on user_id
+    # make latest_per_key's window exchange-free (clustering from the
+    # scan, not a shuffle). Publish timed separately, as with the gold
+    # grain above.
+    spark.sql("DROP TABLE IF EXISTS probe_events_bkt")
+    run(
+        "events_publish_bucketed",
+        lambda: (
+            write_bucketed_sorted_table(
+                ev, "probe_events_bkt", "user_id", ["ts", "event_id"], 16
+            )
+            or {"out_rows": None}
+        ),
+    )
+
+    def _latest_bucketed():
+        latest = latest_per_key(
+            spark.table("probe_events_bkt"),
+            ["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        plan = latest._jdf.queryExecution().executedPlan().toString()
+        return {
+            "out_rows": latest.count(),
+            "exchange_in_plan": "Exchange" in plan,
+        }
+
+    run("latest_per_key_bucketed", _latest_bucketed)
+    spark.sql("DROP TABLE IF EXISTS probe_events_bkt")
     run(
         "latest_per_key",
         lambda: {
