@@ -145,6 +145,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext101,
         queries_ext102,
         queries_ext103,
+        queries_ext104,
     )
 
     return REGISTRY
