@@ -146,6 +146,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext102,
         queries_ext103,
         queries_ext104,
+        queries_ext105,
     )
 
     return REGISTRY
