@@ -147,6 +147,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext103,
         queries_ext104,
         queries_ext105,
+        queries_ext106,
     )
 
     return REGISTRY
