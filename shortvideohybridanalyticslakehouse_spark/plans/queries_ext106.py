@@ -229,3 +229,109 @@ def q_item_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", F.col("rnk").cast("int"), "rec", "co_sessions")
         .orderBy("item", "rnk")
     )
+
+
+_NEXT_ITEM_ORACLE = """
+WITH anchor AS (
+  SELECT min(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t0
+  FROM events
+), keyed AS (
+  SELECT e.user_id, e.ts,
+         CAST(json_extract(e.props, '$.k') AS BIGINT) AS item,
+         (date_diff('second', TIMESTAMP '1970-01-01', e.ts) - a.t0)
+           * 16777216 + e.event_id AS k
+  FROM events e, anchor a
+), flagged AS (
+  SELECT user_id, ts, item, k,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM keyed
+  WINDOW w AS (PARTITION BY user_id ORDER BY k)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY k ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+), transitions AS (
+  SELECT item, next_item, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT item,
+           lead(item) OVER (PARTITION BY user_id, sess_id ORDER BY k)
+             AS next_item
+    FROM numbered WHERE item IS NOT NULL
+  )
+  WHERE next_item IS NOT NULL AND next_item <> item
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT item, next_item, n,
+         row_number() OVER (PARTITION BY item ORDER BY n DESC, next_item ASC)
+           AS rnk
+  FROM transitions
+)
+SELECT item, CAST(rnk AS INT) AS rnk, next_item, n AS n_transitions
+FROM ranked WHERE rnk <= 3
+ORDER BY item, rnk
+"""
+
+
+@register("next_item_transition_recs", _NEXT_ITEM_ORACLE)
+def q_next_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL sequence recommendations: per item, the top-3 items
+    that immediately FOLLOW it within a session (self-loops dropped) —
+    order-aware where co-visitation is set-based; consecutive order is
+    total via the packed (seconds, event_id) key shared with ext97."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    anchor = F.broadcast(ev.agg(F.min(sec).alias("t0")))
+    keyed = ev.crossJoin(anchor).select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        ((sec - F.col("t0")) * 16_777_216 + F.col("event_id")).alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("k")
+    flagged = keyed.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                >= 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("k")
+    transitions = (
+        numbered.filter(F.col("item").isNotNull())
+        .select("item", F.lead("item").over(ws).alias("next_item"))
+        .filter(
+            F.col("next_item").isNotNull()
+            & (F.col("next_item") != F.col("item"))
+        )
+        .groupBy("item", "next_item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wr = Window.partitionBy("item").orderBy(F.desc("n"), F.asc("next_item"))
+    return (
+        transitions.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "item",
+            F.col("rnk").cast("int"),
+            "next_item",
+            F.col("n").alias("n_transitions"),
+        )
+        .orderBy("item", "rnk")
+    )
