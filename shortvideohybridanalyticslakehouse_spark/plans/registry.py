@@ -148,6 +148,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext104,
         queries_ext105,
         queries_ext106,
+        queries_ext107,
     )
 
     return REGISTRY
