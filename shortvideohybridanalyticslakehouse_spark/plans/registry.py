@@ -149,6 +149,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext105,
         queries_ext106,
         queries_ext107,
+        queries_ext108,
     )
 
     return REGISTRY
