@@ -150,6 +150,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext106,
         queries_ext107,
         queries_ext108,
+        queries_ext109,
     )
 
     return REGISTRY
