@@ -76,3 +76,38 @@ def test_wav_container_roundtrip():
     assert rate == 12000 and n == 77 and dec.size == 77
     _, block = adpcm_encode(s)
     assert list(dec) == list(adpcm_decode_block(block, 77))
+
+
+def test_adpcm_fuzz_never_crashes():
+    """decode_wav_adpcm must either decode or raise ValueError on
+    arbitrary bytes AND on truncations/bit-flips of a valid payload —
+    the codec-family fuzz contract (test_multimodal.py)."""
+    from hypothesis import given, settings, strategies as st
+
+    valid = encode_wav_adpcm(
+        8000, ((np.arange(90, dtype=np.int64) * 31 + 7) % 4001) - 2000
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        use_valid=st.booleans(),
+        cut=st.integers(min_value=0, max_value=120),
+        flip_pos=st.integers(min_value=0, max_value=500),
+        flip_val=st.integers(min_value=0, max_value=255),
+        raw=st.binary(max_size=120),
+    )
+    def check(use_valid, cut, flip_pos, flip_val, raw):
+        if use_valid:
+            b = bytearray(valid)
+            if flip_pos < len(b):
+                b[flip_pos] = flip_val
+            payload = bytes(b[: max(0, len(b) - cut)])
+        else:
+            payload = raw
+        try:
+            rate, n, dec = decode_wav_adpcm(payload)
+            assert 0 <= n <= 65535 and dec.size <= n
+        except ValueError:
+            pass  # the documented rejection path
+
+    check()
