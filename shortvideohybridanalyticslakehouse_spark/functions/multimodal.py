@@ -2826,6 +2826,12 @@ def encode_wav_adpcm(sample_rate: int, samples) -> bytes:
     extension carries samples_per_block so decode is exact, padding
     nibble and all."""
     n, block = adpcm_encode(samples)
+    if n > 0xFFFF:
+        # samples-per-block is a 2-byte field; silently wrapping it would
+        # make decode return a truncated array with no error.
+        raise ValueError(
+            f"single-block IMA ADPCM caps at 65535 samples, got {n}"
+        )
 
     def _le(v: int, nb: int) -> bytes:
         return int(v).to_bytes(nb, "little")

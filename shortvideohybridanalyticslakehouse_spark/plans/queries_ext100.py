@@ -151,9 +151,11 @@ def q_adpcm_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_samples").cast("bigint").alias("n_samples"),
         F.sum("total_abs_err").cast("bigint").alias("total_abs_err"),
         F.max("max_abs_err").cast("bigint").alias("max_abs_err"),
-        F.floor(F.sum("total_abs_err") * 1_000_000 / F.sum("n_samples"))
-        .cast("bigint")
-        .alias("mean_err_micro"),
+        # Integer DIV, not float floor-division: sum*1e6 reaches ~1e13 at
+        # larger SF where 1/b < ulp of the quotient (ext90/ext103 rule).
+        F.expr(
+            "CAST((sum(total_abs_err) * 1000000) DIV sum(n_samples) AS BIGINT)"
+        ).alias("mean_err_micro"),
         F.min(
             F.when(F.col("max_abs_err") == F.col("gmax"), F.col("doc_id"))
         )

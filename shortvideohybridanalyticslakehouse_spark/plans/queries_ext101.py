@@ -179,19 +179,17 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "bin",
         "n_users",
-        F.floor(F.col("sum_score_milli") / F.col("n_users"))
-        .cast("bigint")
-        .alias("mean_score_milli"),
-        F.floor(F.col("n_converted") * 1_000_000 / F.col("n_users"))
-        .cast("bigint")
-        .alias("observed_micro"),
-        F.floor(
-            F.abs(1000 * F.col("n_converted") - F.col("sum_score_milli"))
-            * 1000
-            / F.col("n_users")
-        )
-        .cast("bigint")
-        .alias("abs_gap_micro"),
+        # Integer DIV mirrors the oracle's '//' (ext90/ext103 rule).
+        F.expr("CAST(sum_score_milli DIV n_users AS BIGINT)").alias(
+            "mean_score_milli"
+        ),
+        F.expr(
+            "CAST((n_converted * 1000000) DIV n_users AS BIGINT)"
+        ).alias("observed_micro"),
+        F.expr(
+            "CAST((abs(1000 * n_converted - sum_score_milli) * 1000)"
+            " DIV n_users AS BIGINT)"
+        ).alias("abs_gap_micro"),
     ).orderBy("bin")
 
 
@@ -204,13 +202,10 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _cal_bins(spark, sf_dir)
     return b.agg(
         F.sum("n_users").cast("bigint").alias("n_users"),
-        F.floor(
-            F.sum(F.abs(1000 * F.col("n_converted") - F.col("sum_score_milli")))
-            * 1000
-            / F.sum("n_users")
-        )
-        .cast("bigint")
-        .alias("ece_micro"),
+        F.expr(
+            "CAST((sum(abs(1000 * n_converted - sum_score_milli)) * 1000)"
+            " DIV sum(n_users) AS BIGINT)"
+        ).alias("ece_micro"),
     )
 
 

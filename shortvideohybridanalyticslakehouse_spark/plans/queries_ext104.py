@@ -97,29 +97,29 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
             F.sum("n_chars").cast("bigint").alias("n_chars"),
-            F.floor(F.sum("n_chars") / n).cast("bigint").alias("mean_chars"),
+            # Integer DIV mirrors the oracle's '//' (ext90/ext103 rule).
+            F.expr("CAST(sum(n_chars) DIV count(1) AS BIGINT)").alias(
+                "mean_chars"
+            ),
             F.min("n_chars").cast("bigint").alias("min_chars"),
             F.max("n_chars").cast("bigint").alias("max_chars"),
             F.sum("dup").cast("bigint").alias("n_dup_docs"),
-            F.floor(F.sum("dup") * 1_000_000 / n)
-            .cast("bigint")
-            .alias("dup_rate_micro"),
-            F.floor(
-                F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
-                * 1_000_000
-                / n
-            )
-            .cast("bigint")
-            .alias("short_rate_micro"),
+            F.expr(
+                "CAST((sum(dup) * 1000000) DIV count(1) AS BIGINT)"
+            ).alias("dup_rate_micro"),
+            F.expr(
+                "CAST((sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)"
+                " * 1000000) DIV count(1) AS BIGINT)"
+            ).alias("short_rate_micro"),
         )
         .select(
             "n_docs",
             "n_sources",
             "n_langs",
             "top_lang",
-            F.floor(F.col("_top_n") * 1_000_000 / F.col("n_docs"))
-            .cast("bigint")
-            .alias("top_lang_share_micro"),
+            F.expr(
+                "CAST((_top_n * 1000000) DIV n_docs AS BIGINT)"
+            ).alias("top_lang_share_micro"),
             "n_tokens",
             "n_chars",
             "mean_chars",

@@ -222,7 +222,7 @@ def q_covisitation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi.crossJoin(n_train).groupBy("n_train_sessions").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_probes"),
         F.sum("hit").cast("bigint").alias("n_hits"),
-        F.floor(F.sum("hit") * 1_000_000 / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("hit_rate_micro"),
+        F.expr(
+            "CAST((sum(hit) * 1000000) DIV count(1) AS BIGINT)"
+        ).alias("hit_rate_micro"),
     ).select("n_train_sessions", "n_eval_probes", "n_hits", "hit_rate_micro")

@@ -85,18 +85,14 @@ def q_rec_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
             "items_with_recs",
             "items_recommended",
-            F.floor(F.col("items_recommended") * 1_000_000 / F.col("n_items"))
-            .cast("bigint")
-            .alias("catalog_coverage_micro"),
+            F.expr(
+                "CAST((items_recommended * 1000000) DIV n_items AS BIGINT)"
+            ).alias("catalog_coverage_micro"),
             "n_slots",
             "max_slots_per_item",
-            F.floor(
-                F.col("sum_sq")
-                * 1_000_000
-                / (F.col("n_slots") * F.col("n_slots"))
-            )
-            .cast("bigint")
-            .alias("rec_concentration_hhi_micro"),
+            F.expr(
+                "CAST((sum_sq * 1000000) DIV (n_slots * n_slots) AS BIGINT)"
+            ).alias("rec_concentration_hhi_micro"),
         )
     )
 

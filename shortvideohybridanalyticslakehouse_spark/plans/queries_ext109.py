@@ -64,9 +64,9 @@ def q_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases",
             "n_buyers",
             "revenue_cents",
-            F.floor(F.col("revenue_cents") * 1_000_000 / F.col("total"))
-            .cast("bigint")
-            .alias("revenue_share_micro"),
+            F.expr(
+                "CAST((revenue_cents * 1000000) DIV total AS BIGINT)"
+            ).alias("revenue_share_micro"),
         )
         .orderBy(F.desc("revenue_cents"), F.asc("item"))
         .limit(20)

@@ -171,11 +171,10 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("npos") - (_W - 1)).cast("bigint").alias("n_windows"),
         F.col("n_fingerprints").cast("bigint"),
         F.col("n_distinct_hashes").cast("bigint"),
-        F.floor(
-            F.col("n_fingerprints") * 1_000_000 / (F.col("npos") - (_W - 1))
-        )
-        .cast("bigint")
-        .alias("density_micro"),
+        F.expr(
+            f"CAST((n_fingerprints * 1000000) DIV (npos - {_W - 1})"
+            " AS BIGINT)"
+        ).alias("density_micro"),
     )
 
 

@@ -137,9 +137,10 @@ def q_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_errors_between") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_dirty"),
-        F.floor(clean * 1_000_000 / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("clean_rate_micro"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_errors_between = 0 THEN 1 ELSE 0 END)"
+            " * 1000000) DIV count(1) AS BIGINT)"
+        ).alias("clean_rate_micro"),
     )
 
 

@@ -149,13 +149,19 @@ def q_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(inv).cast("bigint").alias("n_inverted"),
-        F.floor(F.sum(inv) * 1_000_000 / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("disorder_rate_micro"),
         F.max(late).cast("bigint").alias("max_lateness_sec"),
         F.coalesce(F.max(F.when(inv == 1, late)), F.lit(0))
         .cast("bigint")
         .alias("p100_lateness_sec"),
+    ).select(
+        "n_pairs",
+        "n_inverted",
+        # Integer DIV mirrors the oracle's '//' (ext90/ext103 rule).
+        F.expr(
+            "CAST((n_inverted * 1000000) DIV n_pairs AS BIGINT)"
+        ).alias("disorder_rate_micro"),
+        "max_lateness_sec",
+        "p100_lateness_sec",
     )
 
 
@@ -213,7 +219,9 @@ def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_count",
         "total",
         med.cast("bigint").alias("median_count"),
-        F.floor(F.col("max_count") * 1_000_000 / med)
-        .cast("bigint")
-        .alias("skew_ratio_micro"),
+        F.expr(
+            "CAST((max_count * 1000000)"
+            " DIV element_at(cs, CAST((n_buckets + 1) / 2 AS INT))"
+            " AS BIGINT)"
+        ).alias("skew_ratio_micro"),
     )

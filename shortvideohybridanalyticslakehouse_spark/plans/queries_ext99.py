@@ -116,16 +116,20 @@ def q_source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.groupBy("source")
         .agg(
             n.cast("bigint").alias("n_docs"),
-            F.floor(F.sum("n_chars") / n).cast("bigint").alias("mean_chars"),
-            F.floor(F.sum("mism") * 1_000_000 / n)
-            .cast("bigint")
-            .alias("lang_mismatch_micro"),
-            F.floor(F.sum("dup") * 1_000_000 / n)
-            .cast("bigint")
-            .alias("dup_rate_micro"),
-            F.floor(F.sum("short") * 1_000_000 / n)
-            .cast("bigint")
-            .alias("short_rate_micro"),
+            # Integer DIV mirrors the oracle's '//' exactly; float floor
+            # drifts once sum*1e6 passes ~2^45 (ext90/ext103 rule).
+            F.expr("CAST(sum(n_chars) DIV count(1) AS BIGINT)").alias(
+                "mean_chars"
+            ),
+            F.expr(
+                "CAST((sum(mism) * 1000000) DIV count(1) AS BIGINT)"
+            ).alias("lang_mismatch_micro"),
+            F.expr(
+                "CAST((sum(dup) * 1000000) DIV count(1) AS BIGINT)"
+            ).alias("dup_rate_micro"),
+            F.expr(
+                "CAST((sum(short) * 1000000) DIV count(1) AS BIGINT)"
+            ).alias("short_rate_micro"),
         )
         .orderBy("source")
     )
@@ -164,9 +168,9 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "hour_of_day",
             "n",
-            F.floor(F.col("n") * 24 * 1_000_000 / F.col("total"))
-            .cast("bigint")
-            .alias("seasonal_index_micro"),
+            F.expr("CAST((n * 24 * 1000000) DIV total AS BIGINT)").alias(
+                "seasonal_index_micro"
+            ),
         )
         .orderBy("event_type", "hour_of_day")
     )
@@ -226,11 +230,8 @@ def q_weekday_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("we_days").cast("bigint").alias("weekend_days"),
         F.col("wd_n").cast("bigint").alias("weekday_events"),
         F.col("wd_days").cast("bigint").alias("weekday_days"),
-        F.floor(
-            (F.col("we_n") * F.col("wd_days"))
-            * 1_000_000
-            / F.nullif(F.col("wd_n") * F.col("we_days"), F.lit(0))
-        )
-        .cast("bigint")
-        .alias("weekend_uplift_micro"),
+        F.expr(
+            "CAST((we_n * wd_days) * 1000000"
+            " DIV NULLIF(wd_n * we_days, 0) AS BIGINT)"
+        ).alias("weekend_uplift_micro"),
     ).orderBy("event_type")

@@ -56,22 +56,22 @@ def closed_session_items(
 
 def session_pairs(sessions: DataFrame) -> DataFrame:
     """Explode a closed session's item set into canonical (a < b) pairs,
-    capped at MAX_SESSION_ITEMS items per session (the ext106 guard)."""
+    capped at MAX_SESSION_ITEMS items per session (the ext106 guard).
+
+    Pairs come from an array-HOF combination over the sorted item set —
+    ONE projection, no self-join — so a stateful micro-batch frame is
+    scanned exactly once per action (Spark 4 state-store commit
+    sensitivity; the scd2/mv stage-first rule's stronger cousin)."""
     bounded = sessions.filter(F.size("items") <= MAX_SESSION_ITEMS)
-    a = bounded.select(
-        "user_id", "session_start", F.explode("items").alias("item_a")
-    )
-    b = bounded.select(
-        F.col("user_id").alias("_uid"),
-        F.col("session_start").alias("_ss"),
-        F.explode("items").alias("item_b"),
-    )
-    return a.join(
-        b,
-        (F.col("user_id") == F.col("_uid"))
-        & (F.col("session_start") == F.col("_ss"))
-        & (F.col("item_a") < F.col("item_b")),
-    ).select("item_a", "item_b")
+    return bounded.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array_sort(items), (x, i) ->"
+                " transform(slice(array_sort(items), i + 2, size(items)),"
+                " y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
 
 
 def merge_covis_batch(

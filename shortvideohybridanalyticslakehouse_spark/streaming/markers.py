@@ -21,15 +21,16 @@ import os
 
 
 def vacuum_markers(store: str, keep_last: int = 64) -> int:
-    """Delete per-bucket applied-batch markers older than the newest
-    ``keep_last`` ids ACROSS the store (a global cut, so a bucket
+    """Delete applied-batch markers older than the newest ``keep_last``
+    ids WITHIN EACH bucket directory (a per-bucket cut, so a bucket
     untouched for many batches keeps its newest markers regardless of
-    age). Returns the number of files removed."""
+    how far the rest of the store has advanced). Returns the number of
+    files removed."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     if not os.path.isdir(store):
         return 0
-    found: list[tuple[int, str]] = []
+    by_dir: dict[str, list[tuple[int, str]]] = {}
     for root, _dirs, files in os.walk(store):
         for f in files:
             if f.startswith("_applied_batch_"):
@@ -37,19 +38,20 @@ def vacuum_markers(store: str, keep_last: int = 64) -> int:
                     bid = int(f[len("_applied_batch_") :])
                 except ValueError:
                     continue
-                found.append((bid, os.path.join(root, f)))
-    if not found:
-        return 0
-    ids = sorted({bid for bid, _ in found})
-    if len(ids) <= keep_last:
-        return 0
-    cutoff = ids[-keep_last]  # keep ids >= cutoff
+                by_dir.setdefault(root, []).append(
+                    (bid, os.path.join(root, f))
+                )
     removed = 0
-    for bid, path in found:
-        if bid < cutoff:
-            try:
-                os.remove(path)
-                removed += 1
-            except FileNotFoundError:
-                pass
+    for _root, found in by_dir.items():
+        ids = sorted({bid for bid, _ in found})
+        if len(ids) <= keep_last:
+            continue
+        cutoff = ids[-keep_last]  # keep ids >= cutoff within this bucket
+        for bid, path in found:
+            if bid < cutoff:
+                try:
+                    os.remove(path)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
     return removed

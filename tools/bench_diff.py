@@ -29,6 +29,9 @@ def main() -> None:
         m_new = new.get(q)
         if m_new is None:
             print(f"| {q} | {m_old} | (absent) | — |")
+        elif m_old == 0:
+            # sub-millisecond old median rounds to 0.0 — no finite ratio
+            print(f"| {q} | {m_old} | {m_new} | — |")
         else:
             print(f"| {q} | {m_old} | {m_new} | {m_new / m_old:.2f}x |")
     added = sorted(set(new) - set(old))
