@@ -176,8 +176,11 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item").alias("item_b"), F.col("n_sess").alias("sessions_b")
     )
     return (
-        pairs.join(F.broadcast(ia), "item_a")
-        .join(F.broadcast(ib), "item_b")
+        # per-item stats are O(catalog): no forced broadcast — AQE keeps
+        # them broadcast while small and degrades to shuffle join at a
+        # 100x catalog instead of OOMing the driver (VERDICT r7 #1)
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
         .crossJoin(n_sessions)
         .select(
             "item_a",
@@ -185,14 +188,11 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "co_sessions",
             "sessions_a",
             "sessions_b",
-            F.floor(
-                F.col("co_sessions")
-                * F.col("n")
-                * 1_000_000
-                / (F.col("sessions_a") * F.col("sessions_b"))
-            )
-            .cast("bigint")
-            .alias("lift_micro"),
+            # integer DIV: co*N*1e6 reaches ~1e16, past float-floor safety
+            F.expr(
+                "CAST((co_sessions * n * 1000000)"
+                " DIV (sessions_a * sessions_b) AS BIGINT)"
+            ).alias("lift_micro"),
         )
         .orderBy(
             F.desc("co_sessions"), F.asc("item_a"), F.asc("item_b")

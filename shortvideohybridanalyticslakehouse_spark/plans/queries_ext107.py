@@ -142,21 +142,12 @@ def _session_items(ev: DataFrame) -> DataFrame:
     )
 
 
-@register("covisitation_backtest_hit_rate", _BACKTEST_ORACLE)
-def q_covisitation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal-split hit-rate@3 of the co-visitation recommender:
-    candidates trained on the first half, probed against multi-item
-    sessions of the second half."""
+def covis_candidates(train: DataFrame) -> DataFrame:
+    """Top-``_TOP_RECS`` co-visitation candidates (item, rec) built from
+    TRAIN sessions only — the no-temporal-leakage boundary: an eval
+    session's item pairs must never reach this function (property-tested
+    in tests/test_backtest_leakage.py with a planted-leak fixture)."""
     from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.col("ts").cast("long")
-    anchor = F.broadcast(
-        ev.agg(((F.min(sec) + F.max(sec)) / 2).cast("bigint").alias("mid"))
-    )
-    ev_m = ev.crossJoin(anchor)
-    train = _session_items(ev_m.filter(sec <= F.col("mid")))
-    evale = _session_items(ev_m.filter(sec > F.col("mid")))
 
     a = train.alias("a")
     b = train.select(
@@ -180,11 +171,30 @@ def q_covisitation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("item").orderBy(F.desc("co"), F.asc("rec"))
-    recs = (
+    return (
         directed.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _TOP_RECS)
         .select("item", "rec")
     )
+
+
+@register("covisitation_backtest_hit_rate", _BACKTEST_ORACLE)
+def q_covisitation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-split hit-rate@3 of the co-visitation recommender:
+    candidates trained on the first half, probed against multi-item
+    sessions of the second half."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    anchor = F.broadcast(
+        ev.agg(((F.min(sec) + F.max(sec)) / 2).cast("bigint").alias("mid"))
+    )
+    ev_m = ev.crossJoin(anchor)
+    train = _session_items(ev_m.filter(sec <= F.col("mid")))
+    evale = _session_items(ev_m.filter(sec > F.col("mid")))
+
+    recs = covis_candidates(train)
 
     other = evale.select(
         F.col("user_id").alias("o_user"),
@@ -192,7 +202,10 @@ def q_covisitation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item").alias("o_item"),
     )
     probes = (
-        evale.join(F.broadcast(recs), "item", "left")
+        # recs is O(catalog) (top-3 per distinct item): no forced
+        # broadcast — AQE decides, so a 100x catalog degrades to a
+        # shuffle join instead of a driver OOM (VERDICT r7 #1)
+        evale.join(recs, "item", "left")
         .join(
             other,
             (F.col("o_user") == F.col("user_id"))

@@ -1,0 +1,143 @@
+"""Temporal-leakage guard for the co-visitation backtest (VERDICT r7 #6).
+
+The classic backtest bug: candidates trained on data that includes the
+eval window, so the recommender "predicts" pairs it literally saw. The
+guard is three-sided:
+
+1. planted eval-only pair -> the REAL backtest must score zero hits on
+   it (the pair never reaches ``covis_candidates``),
+2. a deliberately leaky twin (train = full corpus) MUST surface the
+   planted pair — proving the detector has power (planted case red),
+3. hypothesis property: for random corpora, every candidate edge is
+   derivable from some TRAIN-half session — eval-only co-occurrences
+   never appear among candidates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.plans.queries_ext107 import (
+    _session_items,
+    covis_candidates,
+)
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+T0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _write_events(spark, rows):
+    """rows: (user_id, offset_sec, item) -> events.parquet fixture dir."""
+    data = [
+        (i, T0 + dt.timedelta(seconds=off), uid, "view", 1.0,
+         '{"k": %d}' % item)
+        for i, (uid, off, item) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    return d
+
+
+# corpus spanning [0, 10000] s -> mid = 5000: offsets <= 5000 are train
+_TRAIN_EVAL_CORPUS = [
+    # train sessions: (100, 200) co-occur twice, X=100 has candidates
+    (1, 0, 100), (1, 10, 200),
+    (2, 100, 100), (2, 110, 200),
+    # anchor rows pin min/max so mid lands at 5000
+    (9, 20, 500),
+    # eval sessions (offsets > 5000): the ONLY (100, 300) co-occurrence
+    # in the corpus — multi-item so the probe counts
+    (3, 9000, 100), (3, 9010, 300),
+    (4, 9500, 100), (4, 9510, 300),
+    (9, 10000, 500),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark):
+    d = _write_events(spark, _TRAIN_EVAL_CORPUS)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_eval_only_pair_never_hits(spark, corpus_dir):
+    """The real backtest: (100, 300) exists only in eval sessions, so
+    candidates come from train pairs {(100,200)} alone and no eval probe
+    can hit — n_hits must be 0. A leaky split would score 2 hits here."""
+    fn, _ = load_all()["covisitation_backtest_hit_rate"]
+    row = fn(spark, corpus_dir).collect()[0]
+    assert row.n_eval_probes > 0  # the probes exist — zero is not vacuous
+    assert row.n_hits == 0
+    assert row.hit_rate_micro == 0
+
+
+def test_planted_leak_fixture_is_red(spark, corpus_dir):
+    """Power check: the classic bug (training on the FULL corpus) must
+    surface the planted eval-only pair among candidates — if this stops
+    failing-the-property, the guard above is vacuous."""
+    ev = spark.read.parquet(corpus_dir + "/events.parquet")
+    leaky_recs = covis_candidates(_session_items(ev)).collect()
+    assert (100, 300) in {(r.item, r.rec) for r in leaky_recs}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(1, 4),       # user
+            st.integers(0, 10000),   # offset seconds
+            st.integers(100, 105),   # item
+        ),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_candidates_derivable_from_train_only(spark, data):
+    """Property: every candidate edge (item, rec) is a co-occurrence of
+    some TRAIN-half session; eval-only pairs never influence candidates."""
+    # pin the time span so the midpoint is deterministic at 5000 s
+    rows = [(9, 0, 999), (9, 10000, 998)] + list(data)
+    ev = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=off), uid, "view", 1.0,
+             '{"k": %d}' % item)
+            for i, (uid, off, item) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sec = F.col("ts").cast("long")
+    mid = ev.agg(((F.min(sec) + F.max(sec)) / 2).cast("bigint")).collect()[0][0]
+    train = _session_items(ev.filter(sec <= F.lit(mid)))
+    cands = covis_candidates(train).collect()
+
+    train_rows = train.collect()
+    sess: dict[tuple, set] = {}
+    for r in train_rows:
+        sess.setdefault((r.user_id, r.sess_id), set()).add(r.item)
+    train_pairs = set()
+    for items in sess.values():
+        for x in items:
+            for y in items:
+                if x != y:
+                    train_pairs.add((x, y))
+    for r in cands:
+        assert (r.item, r.rec) in train_pairs, (
+            f"candidate ({r.item},{r.rec}) has no train-session support — "
+            "temporal leakage"
+        )

@@ -69,6 +69,10 @@ def _support_hash() -> str:
     paths.append(os.path.join(_REPO, "__spark_entry__.py"))
     paths.append(os.path.abspath(__file__))
     paths.append(os.path.join(_REPO, "tools", "check_oracle.py"))
+    paths.append(os.path.join(_REPO, "tools", "sketch_pins.py"))
+    pins_json = os.path.join(_REPO, "tools", "sketch_pins.json")
+    if os.path.exists(pins_json):
+        paths.append(pins_json)
     for p in paths:
         with open(p, "rb") as fh:
             h.update(p.encode())
@@ -108,6 +112,9 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from tools.check_oracle import frame_hash
+    from tools.sketch_pins import load_pins
+
+    sketch_pins = load_pins()
 
     con = duckdb.connect()
     for t in (
@@ -154,6 +161,27 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if name not in oracles:
+            # rows-only unless a golden self-regression pin exists for
+            # this SF (tools/sketch_pins.json, VERDICT r7 #2) — then the
+            # JVM-sketch output gets a full rows+cols+hash compare
+            pin = sketch_pins.get(name, {}).get(
+                os.path.basename(os.path.normpath(sf_dir))
+            )
+            if pin is not None:
+                sn, scols, shash = frame_hash(sdf)
+                got = {"rows": int(sn), "cols": list(scols), "hash": shash}
+                ok = got == pin
+                print(
+                    f"{'PASS' if ok else 'FAIL'} {name}: rows={sn}/"
+                    f"{pin['rows']} PIN hash="
+                    f"{'=' if shash == pin['hash'] else '≠'} [{dt:.1f}s]"
+                )
+                if not ok:
+                    failures.append(name)
+                    cache.pop(name, None)
+                else:
+                    cache[name] = {"key": key, "status": "PASS", "rows": int(sn)}
+                continue
             print(f"okNA {name}: rows={len(sdf)} (no oracle) [{dt:.1f}s]")
             cache[name] = {"key": key, "status": "okNA", "rows": len(sdf)}
             continue

@@ -14,6 +14,20 @@ Usage:
     python tools/shuffle_gate.py /root/testdata/sf0.1 --record   # (re)write artifact
     python tools/shuffle_gate.py /root/testdata/sf0.1            # gate vs artifact
     python tools/shuffle_gate.py /root/testdata/sf0.1 q1 q2 ...  # explicit subset
+    python tools/shuffle_gate.py /root/testdata/sf0.1 --all      # FULL registry
+
+Broadcast-size audit (VERDICT r7 #1): every run also records the largest
+single BroadcastExchange dataSize per query (max_broadcast_bytes). A
+query whose largest broadcast exceeds BROADCAST_CAP (default 32 MB at
+sf0.1; env SVH_BROADCAST_CAP_BYTES) is re-run once with
+autoBroadcastJoinThreshold=-1 — the conf kills every AQE-CHOSEN
+broadcast but leaves explicit F.broadcast hints intact, so a broadcast
+that survives is hint-forced on a frame that grows with the data: the
+mulaw failure family (352 MB misestimated broadcast, caught r7). Those
+HARD-FAIL, record mode included, module changed or not. AQE-chosen
+big broadcasts are merely noted: AQE re-decides per run, so at a 100x
+catalog it degrades to a shuffle join on its own. The top-20 tracking
+missed the recsys lanes; --all closes that blind spot.
 
 Query selection (no explicit names): the TOP_N most expensive by median
 in the newest BENCHDETAIL_r*.json, plus any query named in EXTRA (the
@@ -61,6 +75,12 @@ GROWTH_BAR = 2.0
 # below this, absolute byte jitter (AQE coalescing, row-group boundaries)
 # dominates and a ratio is noise, not signal (env override for tests)
 MIN_GATED_BYTES = int(os.environ.get("SVH_SHUFFLE_MIN_BYTES", "1000000"))
+# hard cap on any single BroadcastExchange dataSize — only an explicit
+# F.broadcast hint can exceed AQE's auto threshold, and a hinted frame
+# this big at sf0.1 is a driver OOM at 100x (VERDICT r7 #1)
+BROADCAST_CAP = int(
+    os.environ.get("SVH_BROADCAST_CAP_BYTES", str(32 * 1024 * 1024))
+)
 
 
 def _module_hash(fn) -> str:
@@ -85,7 +105,9 @@ def _walk_metrics(node, acc) -> None:
         )
     elif cls == "BroadcastExchangeExec":
         acc["broadcasts"] += 1
-        acc["broadcast_bytes"] += int(mets.get("dataSize", 0))
+        size = int(mets.get("dataSize", 0))
+        acc["broadcast_bytes"] += size
+        acc["max_broadcast_bytes"] = max(acc["max_broadcast_bytes"], size)
     if cls == "AdaptiveSparkPlanExec":
         _walk_metrics(node.executedPlan(), acc)
     elif cls.endswith("QueryStageExec"):
@@ -103,6 +125,7 @@ def measure(df: DataFrame) -> dict:
         "shuffle_records_written": 0,
         "broadcasts": 0,
         "broadcast_bytes": 0,
+        "max_broadcast_bytes": 0,
     }
     _walk_metrics(df._jdf.queryExecution().executedPlan(), acc)
     return acc
@@ -130,6 +153,7 @@ def pick_queries(registry) -> list[str]:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     record = "--record" in sys.argv
+    run_all = "--all" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     artifact = os.environ.get("SVH_SHUFFLE_ARTIFACT") or os.path.join(
@@ -137,11 +161,15 @@ def main() -> int:
     )
 
     registry = load_all()
-    names = args[1:] if len(args) > 1 else pick_queries(registry)
+    if run_all:
+        names = list(registry)
+    else:
+        names = args[1:] if len(args) > 1 else pick_queries(registry)
     spark = get_spark("svh-shuffle-gate")
     spark.sparkContext.setLogLevel("ERROR")
 
     current: dict[str, dict] = {}
+    cap_suspects: list[str] = []
     for name in names:
         fn, _oracle = registry[name]
         m = measure(fn(spark, sf_dir))
@@ -151,8 +179,43 @@ def main() -> int:
             f"{name}: exchanges={m['exchanges']} "
             f"shuffle={m['shuffle_bytes_written']:,}B "
             f"records={m['shuffle_records_written']:,} "
-            f"broadcast={m['broadcast_bytes']:,}B"
+            f"broadcast={m['broadcast_bytes']:,}B "
+            f"maxbcast={m['max_broadcast_bytes']:,}B"
         )
+        if m["max_broadcast_bytes"] > BROADCAST_CAP:
+            cap_suspects.append(name)
+
+    # Discriminate hint-forced from AQE-chosen: with the auto threshold
+    # off, the only BroadcastExchanges left come from explicit hints.
+    cap_failures: list[str] = []
+    cap_notes: list[str] = []
+    if cap_suspects:
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.set(key, "-1")
+        for name in cap_suspects:
+            fn, _oracle = registry[name]
+            m2 = measure(fn(spark, sf_dir))
+            sz = m2["max_broadcast_bytes"]
+            if sz > BROADCAST_CAP:
+                cap_failures.append(
+                    f"{name}: HINTED broadcast {sz:,}B > cap "
+                    f"{BROADCAST_CAP:,}B even with auto-broadcast off — "
+                    f"an O(data) frame is F.broadcast-forced (the mulaw "
+                    f"failure family)"
+                )
+            else:
+                cap_notes.append(
+                    f"{name}: {current[name]['max_broadcast_bytes']:,}B "
+                    f"broadcast is AQE-chosen (hint-only size {sz:,}B) — "
+                    f"adapts away at scale"
+                )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    for s in cap_notes:
+        print("NOTE", s)
 
     if record or not os.path.exists(artifact):
         merged = {}
@@ -165,32 +228,47 @@ def main() -> int:
                 {"sf_dir": sf_dir, "queries": merged}, f, indent=1, sort_keys=True
             )
         print(f"RECORDED {len(current)} queries -> {artifact} ({len(merged)} total)")
-        return 0
+        for s in cap_failures:
+            print("FAIL", s)
+        print("GATE:", "FAIL" if cap_failures else "PASS")
+        return 1 if cap_failures else 0
 
     with open(artifact) as f:
         base = json.load(f)["queries"]
-    failures, notes = [], []
+    failures, notes = list(cap_failures), []
     for name, m in current.items():
         b = base.get(name)
         if b is None:
             notes.append(f"NEW (no baseline): {name}")
             continue
-        prev = b["shuffle_bytes_written"]
-        cur = m["shuffle_bytes_written"]
-        if max(prev, cur) < MIN_GATED_BYTES:
-            continue
-        ratio = cur / prev if prev else float("inf")
-        if ratio > GROWTH_BAR:
-            msg = (
-                f"{name}: shuffle bytes {prev:,} -> {cur:,} "
-                f"({ratio:.2f}x > {GROWTH_BAR}x)"
-            )
-            if m["module_hash"] == b["module_hash"]:
-                failures.append(msg + " with UNCHANGED module")
-            else:
+        checks = [
+            ("shuffle bytes", b["shuffle_bytes_written"],
+             m["shuffle_bytes_written"]),
+            ("broadcast bytes", b.get("max_broadcast_bytes", 0),
+             m["max_broadcast_bytes"]),
+        ]
+        for label, prev, cur in checks:
+            if max(prev, cur) < MIN_GATED_BYTES:
+                continue
+            if prev == 0:
                 notes.append(
-                    msg + " but module changed — re-baseline with --record"
+                    f"{name}: no {label} baseline (pre-audit artifact) — "
+                    f"current {cur:,}B; refresh with --record"
                 )
+                continue
+            ratio = cur / prev
+            if ratio > GROWTH_BAR:
+                msg = (
+                    f"{name}: {label} {prev:,} -> {cur:,} "
+                    f"({ratio:.2f}x > {GROWTH_BAR}x)"
+                )
+                if m["module_hash"] == b["module_hash"]:
+                    failures.append(msg + " with UNCHANGED module")
+                else:
+                    notes.append(
+                        msg
+                        + " but module changed — re-baseline with --record"
+                    )
     for s in notes:
         print("NOTE", s)
     for s in failures:
