@@ -1,0 +1,116 @@
+"""Streaming flagship e2e (VERDICT r7 #3): the full serving path
+(validate -> 1-min gold -> 30-min rolling -> thresholds -> decision) as
+ONE streaming query, with
+
+  1. stream == batch decision equality on the drained set (strict:
+     late_event_ratio=0 so the watermark provably drops nothing), and
+  2. a MEASURED event->decision freshness gate against the reference's
+     3-minute P95 SLO (arrival = real file modification time).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.generator import (
+    BoundedRun,
+    GeneratorConfig,
+)
+from shortvideohybridanalyticslakehouse_spark.operators.validate import (
+    annotate_cdc_errors,
+    parse_cdc_records,
+)
+from shortvideohybridanalyticslakehouse_spark.plans import serving, verifiers
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    jsonl_fixture_to_raw,
+)
+from shortvideohybridanalyticslakehouse_spark.streaming import flagship
+
+N_FILES = 3
+# wall-clock stamps legitimately differ between the stream run and the
+# batch twin; everything else must be byte-equal
+_CLOCK_COLS = {"processed_at", "max_processed_at_30m"}
+
+
+@pytest.fixture(scope="module")
+def run():
+    return BoundedRun(
+        GeneratorConfig(
+            total_events=1500, events_per_second=20.0, late_event_ratio=0.0
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def drained(spark, run, tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("flagship"))
+    src = os.path.join(tmpdir, "events_in")
+    os.makedirs(src)
+    rows = run.content_events()
+    chunk = len(rows) // N_FILES + 1
+    t0 = time.time() - N_FILES - 1  # minimal backdate: stamps are measured
+    for i in range(N_FILES):
+        part = rows[i * chunk : (i + 1) * chunk]
+        p = os.path.join(src, f"part-{i:04d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(v for (v,) in part))
+        # FileStreamSource orders by mtime: pin strictly increasing
+        os.utime(p, (t0 + i, t0 + i))
+
+    cdc = parse_cdc_records(
+        jsonl_fixture_to_raw(
+            spark.createDataFrame(run.cdc_records(), ["value"])
+        )
+    )
+    dims = serving.dim_videos(
+        annotate_cdc_errors(cdc).filter(F.col("error_code").isNull())
+    )
+    thresholds = spark.createDataFrame(
+        [(0.5, 10.0)], "velocity_p90 double, impressions_p40 double"
+    )
+
+    out = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    source = flagship.read_flagship_file_stream(
+        spark, src, max_files_per_trigger=1
+    )
+    q = flagship.start_flagship_stream(
+        spark, source, dims, thresholds, out, ckpt
+    )
+    q.awaitTermination(300)
+    return {"src": src, "out": out, "dims": dims, "thresholds": thresholds}
+
+
+def test_stream_equals_batch_decisions(spark, drained):
+    streamed = spark.read.parquet(os.path.join(drained["out"], "decisions"))
+    batch = flagship.flagship_batch_twin(
+        flagship.valid_events_batch(spark, drained["src"]),
+        drained["dims"],
+        drained["thresholds"],
+    )
+    cols = sorted(set(streamed.columns) - _CLOCK_COLS)
+    assert sorted(set(batch.columns) - _CLOCK_COLS) == cols
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert len(s_rows) == len(b_rows) > 0
+    assert s_rows == b_rows
+
+    ok, details = verifiers.grain_unique(streamed, ["video_id", "window_start"])
+    assert ok, details
+    # the decision column actually decides (not all NO_ACTION)
+    kinds = {r.decision_type_preview for r in streamed.collect()}
+    assert len(kinds) >= 2, kinds
+
+
+def test_freshness_slo_gate(drained):
+    report = flagship.freshness_report(drained["out"])
+    assert report["n_batches"] == N_FILES  # one micro-batch per file
+    assert report["windows_updated"] > 0
+    # the drain is local and immediate: single-digit seconds, far inside
+    # the 180 s budget — and the gate is the assertion, not the number
+    assert report["pass"], report
+    assert report["worst_batch_p95_s"] < flagship.FRESHNESS_SLO_P95_SECONDS
