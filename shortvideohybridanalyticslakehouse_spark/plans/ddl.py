@@ -273,3 +273,187 @@ def zorder_value_nd(cols, bits: int = 10):
             )
             z = term if z is None else z + term
     return z.cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of the bucketed gold layout (VERDICT r7 #5)
+# ---------------------------------------------------------------------------
+
+_BUCKET_FILE_RE = None  # compiled lazily (re import kept local to this block)
+
+
+def _bucket_of(fname: str) -> int | None:
+    """Bucket id from a bucketed-table file name (``..._00003.c000...``)."""
+    global _BUCKET_FILE_RE
+    import re
+
+    if _BUCKET_FILE_RE is None:
+        _BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d+")
+    m = _BUCKET_FILE_RE.search(fname)
+    return int(m.group(1)) if m else None
+
+
+def table_location(spark, table_name: str) -> str:
+    rows = spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+    loc = next(r.data_type for r in rows if r.col_name == "Location")
+    return loc.removeprefix("file:")
+
+
+def append_bucketed_sorted(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    sort_cols: Sequence[str],
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Merge-on-read append to a bucketed gold table: the new files carry
+    the SAME bucket spec (repartition aligns writer tasks with buckets,
+    so each append adds at most one file per touched bucket). Readers
+    keep the no-Exchange property — HashPartitioning(key) survives
+    multiple files per bucket; only the sorted-output guarantee degrades
+    (Spark inserts a per-partition Sort, never a shuffle) until
+    :func:`compact_bucketed_table` restores one file per bucket. This is
+    the reference's M2 MOR-append + compaction contract
+    (legacy_docs/PipelineArchitecture.md:202-219)."""
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key, *sort_cols)
+        .saveAsTable(table_name)
+    )
+
+
+def mor_read(
+    spark,
+    table_name: str,
+    merge_keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Merge-on-read view: latest version per merge key across base +
+    append files. The dedup window clusters on the bucket key (first
+    merge key), so the bucketed layout still satisfies its distribution
+    — no Exchange, MOR or not."""
+    from shortvideohybridanalyticslakehouse_spark.operators.dedup import (
+        latest_per_key,
+    )
+
+    return latest_per_key(spark.table(table_name), merge_keys, order_cols)
+
+
+def recover_bucketed_table(location: str) -> None:
+    """Torn-swap recovery (the scd2/mv idiom at table-directory level):
+    finish an interrupted compaction swap in whichever direction it
+    stopped. Safe to call unconditionally before reads or compactions."""
+    import os
+    import shutil
+
+    tmp, old = location + "._tmp", location + "._old"
+    if not os.path.isdir(location):
+        if os.path.isdir(old):  # crashed between the two renames
+            os.rename(old, location)
+        elif os.path.isdir(tmp):  # crashed after building tmp completely?
+            # tmp is only renamed in AFTER location moved to old; a tmp
+            # with no location and no old means the build never finished
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"unrecoverable: {location} missing")
+        return
+    # location exists: any leftovers are prunable
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_bucketed_table(
+    spark,
+    table_name: str,
+    key: str,
+    sort_cols: Sequence[str],
+    merge_keys: Sequence[str],
+    order_cols: Sequence[str],
+    n_buckets: int = N_BUCKETS,
+) -> int:
+    """Per-bucket bin-pack compaction: rewrite ONLY buckets holding more
+    than one file into a single sorted, merge-resolved file; untouched
+    buckets are HARD-LINKED into the new table directory (zero data IO),
+    then the directory is swapped atomically (two renames, torn-swap
+    recoverable). Restores the exactly-one-file-per-bucket precondition
+    of the exchange-free sorted window read. Returns the number of
+    buckets compacted.
+
+    Work is O(touched buckets x bucket size), never O(table) — the same
+    shape as the streaming SCD2/MV maintainers."""
+    import os
+    import shutil
+    import uuid
+
+    loc = table_location(spark, table_name)
+    recover_bucketed_table(loc)
+    by_bucket: dict[int, list[str]] = {}
+    extras: list[str] = []
+    for f in os.listdir(loc):
+        if f.startswith("."):
+            continue  # .crc shadows also carry the _NNNNN bucket pattern
+        b = _bucket_of(f)
+        if b is None:
+            extras.append(f)  # _SUCCESS and friends
+            continue
+        by_bucket.setdefault(b, []).append(f)
+    touched = {b: fs for b, fs in by_bucket.items() if len(fs) > 1}
+    if not touched:
+        return 0
+
+    tmp = loc + "._tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    cols = spark.table(table_name).columns
+    from shortvideohybridanalyticslakehouse_spark.operators.dedup import (
+        latest_per_key,
+    )
+
+    # untouched buckets: hard links (same inode, no copy); keep their
+    # .crc shadows so ChecksumFileSystem stays happy with the old names
+    for b, fs in by_bucket.items():
+        if b in touched:
+            continue
+        for f in fs:
+            os.link(os.path.join(loc, f), os.path.join(tmp, f))
+            crc = f".{f}.crc"
+            if os.path.exists(os.path.join(loc, crc)):
+                os.link(os.path.join(loc, crc), os.path.join(tmp, crc))
+    for f in extras:
+        os.link(os.path.join(loc, f), os.path.join(tmp, f))
+
+    scratch = loc + "._scratch"
+    for b, fs in sorted(touched.items()):
+        merged = latest_per_key(
+            spark.read.parquet(*[os.path.join(loc, f) for f in fs]).select(
+                *cols
+            ),
+            merge_keys,
+            order_cols,
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        (
+            merged.coalesce(1)
+            .sortWithinPartitions(key, *sort_cols)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        out = f"part-00000-compact-{uuid.uuid4()}_{b:05d}.c000.snappy.parquet"
+        os.rename(os.path.join(scratch, part), os.path.join(tmp, out))
+        # no .crc for the renamed file: ChecksumFileSystem tolerates a
+        # missing shadow, but a stale mismatched one would fail reads
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    old = loc + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(loc, old)
+    os.rename(tmp, loc)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.sql(f"REFRESH TABLE {table_name}")
+    return len(touched)
