@@ -95,10 +95,11 @@ def flag_near_dups(
         ).unionByName(intra)
     )
     # hot-hash cap over the COMBINED view (same rule the batch lane
-    # applies to the whole corpus)
+    # applies to the whole corpus); counting DISTINCT docs (not rows)
+    # makes a crash-window duplicate row in the folded store harmless
     buck = (
         earlier.groupBy("fph")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.countDistinct("e_doc").alias("n_docs"))
         .filter(F.col("n_docs") <= _HOT_HASH_CAP)
         .select("fph")
     )
@@ -183,3 +184,101 @@ def start_winnow_dedup_job(
         .trigger(**trigger)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Store growth bound (VERDICT r7 #7): log-structured partition folding
+# ---------------------------------------------------------------------------
+# One ``batch=N`` directory per micro-batch keeps DATA O(corpus) but file
+# and directory counts O(batches) — the small-file failure mode checkpoint
+# compaction exists for. Folding merges every partition older than the
+# replay window into a single consolidated partition written under a
+# NEGATIVE batch id (-1, -2, ... per fold generation): any negative id
+# satisfies every future ``batch < b`` earlier-than filter, the target
+# directory never collides with a real batch, and only batches outside
+# the replay window are folded (the marker-vacuum safety argument).
+# Crash-safety: the fold writes to a dot-directory (invisible to Spark),
+# renames it in, THEN deletes the folded sources — the only bad window
+# duplicates rows, which every reader tolerates (hot-cap counts distinct
+# docs; pair evidence is countDistinct) and the next fold's .distinct()
+# heals.
+
+
+def _fold_partitions(
+    spark: SparkSession, path: str, keep_last: int, n_files: int
+) -> int:
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if not os.path.isdir(path):
+        return 0
+    import shutil
+
+    # heal leftovers from a crash before the rename
+    for d in os.listdir(path):
+        if d.startswith(".fold_tmp"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+    )
+    live = [i for i in ids if i >= 0]
+    folds = [i for i in ids if i < 0]
+    foldable = folds + live[:-keep_last]
+    if len(foldable) <= 1:
+        return 0
+    gen = 1 + max((-i for i in folds), default=0)
+    cols = [c for c in spark.read.parquet(path).columns if c != "batch"]
+    merged = (
+        spark.read.parquet(path)
+        .filter(F.col("batch").isin(foldable))
+        .select(*cols)
+        .distinct()  # heals any crash-window duplicates from prior folds
+        .coalesce(n_files)
+    )
+    tmp = os.path.join(path, f".fold_tmp_{gen}")
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(path, f"batch=-{gen}"))
+    for i in foldable:
+        shutil.rmtree(os.path.join(path, f"batch={i}"), ignore_errors=True)
+    return len(foldable)
+
+
+def compact_winnow_store(
+    spark: SparkSession, store: str, keep_last: int = 8, n_files: int = 4
+) -> dict[str, int]:
+    """Fold both halves of the store (fingerprints and flag verdicts).
+    After folding, directory count is <= keep_last + 1 per half and file
+    count is O(corpus / rows-per-file) + O(keep_last) — independent of
+    how many batches the stream has lived through. Returns the number of
+    partitions folded per half."""
+    return {
+        "fps_folded": _fold_partitions(
+            spark, _fps_dir(store), keep_last, n_files
+        ),
+        "flags_folded": _fold_partitions(
+            spark, _flags_dir(store), keep_last, n_files
+        ),
+    }
+
+
+def store_profile(store: str) -> dict[str, int]:
+    """Directory/file/byte counts per store half — the soak gate's
+    measured quantities."""
+    out: dict[str, int] = {}
+    for name, path in (("fps", _fps_dir(store)), ("flags", _flags_dir(store))):
+        dirs = files = size = 0
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if not d.startswith("batch="):
+                    continue
+                dirs += 1
+                sub = os.path.join(path, d)
+                for f in os.listdir(sub):
+                    if f.endswith(".parquet"):
+                        files += 1
+                        size += os.path.getsize(os.path.join(sub, f))
+        out[f"{name}_dirs"] = dirs
+        out[f"{name}_files"] = files
+        out[f"{name}_bytes"] = size
+    return out
