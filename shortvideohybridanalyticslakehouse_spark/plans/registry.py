@@ -151,6 +151,8 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext107,
         queries_ext108,
         queries_ext109,
+        queries_ext110,
+        queries_ext111,
     )
 
     return REGISTRY
