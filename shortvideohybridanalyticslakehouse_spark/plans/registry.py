@@ -153,6 +153,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext109,
         queries_ext110,
         queries_ext111,
+        queries_ext112,
     )
 
     return REGISTRY
