@@ -49,12 +49,21 @@ from shortvideohybridanalyticslakehouse_spark.operators.validate import (
     annotate_content_errors,
     parse_content_events,
 )
-from shortvideohybridanalyticslakehouse_spark.plans import serving
-from shortvideohybridanalyticslakehouse_spark.streaming.jobs import (
-    _merge_overwrite,
-)
+from shortvideohybridanalyticslakehouse_spark.plans import ddl, serving
 
 FRESHNESS_SLO_P95_SECONDS = 180.0  # the reference's 3-minute budget
+GOLD_BUCKETS = 16
+COMPACT_EVERY = 8  # fold MOR appends back to one file per bucket
+
+
+def _store_tables(out_dir: str) -> tuple[str, str]:
+    """Deterministic catalog table names for this pipeline instance
+    (managed bucketed tables live in the warehouse, not under out_dir;
+    the freshness artifacts stay filesystem-side)."""
+    import hashlib
+
+    tag = hashlib.md5(out_dir.encode()).hexdigest()[:10]
+    return f"flagship_gold_{tag}", f"flagship_decisions_{tag}"
 
 
 def read_flagship_file_stream(
@@ -162,13 +171,22 @@ def start_flagship_stream(
     checkpoint_dir: str,
     watermark: str = C.WATERMARK_DELAY,
     trigger: dict | None = None,
+    compact_every: int = COMPACT_EVERY,
 ) -> StreamingQuery:
     """One streaming query, full serving path, measured freshness.
 
-    Outputs under ``out_dir``:
-      gold_1min/   merged 1-min fact (video_id, window_start keyed)
-      decisions/   merged decision context rows (same key)
+    Store layout (the 100 TB write path): gold and decisions are
+    BUCKETED merge-on-read catalog tables (plans/ddl.py) — each batch
+    APPENDS bucket-aligned files (O(batch) write, no table rewrite),
+    readers resolve the newest row version per key, and every
+    ``COMPACT_EVERY`` batches the per-bucket bin-pack compaction folds
+    the appends back to one sorted file per bucket, restoring the
+    exchange-free read. Write amplification per batch is O(batch), not
+    O(table) — the scd2/mv scale shape applied to the serving path.
+
+    ``out_dir`` keeps the filesystem artifacts:
       freshness/   batch_<id>.json with p95/max event->decision seconds
+    Read the stores with :func:`read_gold` / :func:`read_decisions`.
     """
     trigger = trigger or {"availableNow": True}
     parsed = annotate_content_errors(parse_content_events(source))
@@ -178,11 +196,20 @@ def start_flagship_stream(
     ).dropDuplicatesWithinWatermark(["event_id"])
     gold_stream = _gold_agg(deduped)
 
-    gold_path = os.path.join(out_dir, "gold_1min")
-    dec_path = os.path.join(out_dir, "decisions")
+    gold_tbl, dec_tbl = _store_tables(out_dir)
     fresh_dir = os.path.join(out_dir, "freshness")
     stage_dir = os.path.join(out_dir, "_stage")
     os.makedirs(fresh_dir, exist_ok=True)
+
+    def _upsert(df: DataFrame, table: str, sort_cols: list[str]) -> None:
+        if spark.catalog.tableExists(table):
+            ddl.append_bucketed_sorted(
+                df, table, "video_id", sort_cols, n_buckets=GOLD_BUCKETS
+            )
+        else:
+            ddl.write_bucketed_sorted_table(
+                df, table, "video_id", sort_cols, n_buckets=GOLD_BUCKETS
+            )
 
     def decide(batch_df: DataFrame, batch_id: int) -> None:
         # stage-first: the stateful subtree is consumed exactly once
@@ -191,32 +218,40 @@ def start_flagship_stream(
         batch_df.write.mode("overwrite").parquet(stage)
         staged = spark.read.parquet(stage)
 
-        _merge_overwrite(
-            spark,
-            staged,
-            gold_path,
-            key_cols=["video_id", "window_start"],
-            order_cols=["processed_at"],
-        )
-        # recompute rolling+decision only for videos this batch touched —
-        # a left-semi probe of the gold store (partition-pruned when the
-        # store is bucketed/partitioned by video_id at scale)
-        touched = staged.select("video_id").distinct()
-        gold_touched = spark.read.parquet(gold_path).join(
-            F.broadcast(touched), "video_id", "left_semi"
+        _upsert(staged, gold_tbl, ["window_start"])
+        # recompute rolling+decision only for videos this batch touched.
+        # The touched set is bounded by the batch (collect is O(batch
+        # keys)); a literal IN lets Spark bucket-prune the MOR read.
+        touched = [
+            r.video_id
+            for r in staged.select("video_id").distinct().collect()
+        ]
+        if not touched:
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        gold_touched = read_gold(spark, out_dir).filter(
+            F.col("video_id").isin(touched)
         )
         ctx = _decisions_for(gold_touched, dims, thresholds)
-        # _merge_overwrite ranks the incoming batch above the current
-        # store before any order column, so recomputed rows for OLD
-        # windows (whose own processed_at is unchanged but whose rolling
-        # sums moved) still replace their stale versions
-        _merge_overwrite(
-            spark,
-            ctx,
-            dec_path,
-            key_cols=["video_id", "window_start"],
-            order_cols=["max_processed_at_30m"],
-        )
+        # appending the recompute makes it the newest version for every
+        # (video, window) whose rolling sums moved; unchanged windows
+        # append content-identical rows, so whichever version the MOR
+        # read keeps, the result is the same
+        _upsert(ctx, dec_tbl, ["window_start"])
+        if (batch_id + 1) % compact_every == 0:
+            for tbl, order in (
+                (gold_tbl, ["processed_at"]),
+                (dec_tbl, ["max_processed_at_30m"]),
+            ):
+                ddl.compact_bucketed_table(
+                    spark,
+                    tbl,
+                    "video_id",
+                    ["window_start"],
+                    merge_keys=["video_id", "window_start"],
+                    order_cols=order,
+                    n_buckets=GOLD_BUCKETS,
+                )
         # freshness: decisions for THIS batch's updated windows are now
         # queryable — latency per window = now - newest contributing event
         done = time.time()
@@ -250,6 +285,32 @@ def start_flagship_stream(
         .trigger(**trigger)
         .start()
     )
+
+
+def read_gold(spark: SparkSession, out_dir: str) -> DataFrame:
+    """MOR view of the streamed 1-min gold fact: newest version per
+    (video_id, window_start) across base + append files."""
+    gold_tbl, _ = _store_tables(out_dir)
+    return ddl.mor_read(
+        spark, gold_tbl, ["video_id", "window_start"], ["processed_at"]
+    )
+
+
+def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """MOR view of the decision context store (newest recompute wins)."""
+    _, dec_tbl = _store_tables(out_dir)
+    return ddl.mor_read(
+        spark,
+        dec_tbl,
+        ["video_id", "window_start"],
+        ["max_processed_at_30m"],
+    )
+
+
+def drop_stores(spark: SparkSession, out_dir: str) -> None:
+    """Drop this pipeline instance's catalog tables (test hygiene)."""
+    for tbl in _store_tables(out_dir):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def freshness_report(out_dir: str) -> dict:

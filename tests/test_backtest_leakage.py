@@ -24,11 +24,18 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from shortvideohybridanalyticslakehouse_spark.plans.queries_ext107 import (
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+# Populate the registry in canonical module order BEFORE importing a
+# queries module directly: a bare ext107 import would register its
+# queries first and scramble the frozen first-50 ordering for any test
+# collected after this file (dict insertion order is the registry order).
+load_all()
+
+from shortvideohybridanalyticslakehouse_spark.plans.queries_ext107 import (  # noqa: E402
     _session_items,
     covis_candidates,
 )
-from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
 
 T0 = dt.datetime(2025, 1, 1, 0, 0, 0)
 

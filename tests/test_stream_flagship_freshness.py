@@ -79,14 +79,15 @@ def drained(spark, run, tmp_path_factory):
         spark, src, max_files_per_trigger=1
     )
     q = flagship.start_flagship_stream(
-        spark, source, dims, thresholds, out, ckpt
-    )
+        spark, source, dims, thresholds, out, ckpt, compact_every=2
+    )  # compact_every=2: batch 1 triggers MOR compaction mid-stream
     q.awaitTermination(300)
-    return {"src": src, "out": out, "dims": dims, "thresholds": thresholds}
+    yield {"src": src, "out": out, "dims": dims, "thresholds": thresholds}
+    flagship.drop_stores(spark, out)
 
 
 def test_stream_equals_batch_decisions(spark, drained):
-    streamed = spark.read.parquet(os.path.join(drained["out"], "decisions"))
+    streamed = flagship.read_decisions(spark, drained["out"])
     batch = flagship.flagship_batch_twin(
         flagship.valid_events_batch(spark, drained["src"]),
         drained["dims"],

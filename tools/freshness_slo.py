@@ -111,7 +111,7 @@ def main() -> int:
 
         report = flagship.freshness_report(out)
 
-        streamed = spark.read.parquet(os.path.join(out, "decisions"))
+        streamed = flagship.read_decisions(spark, out)
         batch = flagship.flagship_batch_twin(
             flagship.valid_events_batch(spark, src), dims, thresholds
         )
@@ -131,6 +131,7 @@ def main() -> int:
         )
         report["pass"] = bool(report["pass"] and equality)
         print(json.dumps(report))
+        flagship.drop_stores(spark, out)
         return 0 if report["pass"] else 1
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
