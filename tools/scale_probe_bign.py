@@ -77,6 +77,10 @@ def main() -> None:
     spark = get_spark("svh-bign-probe")
     spark.sparkContext.setLogLevel("ERROR")
     ev = synth_events(spark, n, n_users, n_videos)
+    # bucket count is a provisioning constant: 16 is the reference's
+    # fixture-scale choice; at 1B rows per-bucket sorts need more
+    # buckets or they spill (PROBE_BUCKETS documents the knob)
+    n_buckets = int(os.environ.get("PROBE_BUCKETS", "16"))
 
     def timed(fn):
         t0 = time.time()
@@ -86,19 +90,78 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
+    def _plan_metrics(df) -> dict:
+        """Real SQLMetrics off the executed plan: shuffle bytes/records
+        written and total spill (memory pressure — the 1B question is
+        whether one-file-per-bucket sorts spill, VERDICT r7 #4)."""
+        acc = {
+            "shuffle_bytes": 0,
+            "shuffle_records": 0,
+            "spill_bytes": 0,
+            "exchanges": 0,
+        }
+
+        def walk(node):
+            cls = node.getClass().getSimpleName()
+            if cls == "ReusedExchangeExec":
+                return
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                k, v = kv._1(), kv._2().value()
+                if cls == "ShuffleExchangeExec":
+                    if k == "shuffleBytesWritten":
+                        acc["shuffle_bytes"] += int(v)
+                    elif k == "shuffleRecordsWritten":
+                        acc["shuffle_records"] += int(v)
+                if k == "spillSize":
+                    acc["spill_bytes"] += int(v)
+            if cls == "ShuffleExchangeExec":
+                acc["exchanges"] += 1
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan())
+            elif cls.endswith("QueryStageExec"):
+                walk(node.plan())
+            ch = node.children()
+            for i in range(ch.length()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return acc
+
+    # each probe body may register the frame whose executed plan should
+    # be metered (set via _meter[0] = df before the action)
+    _meter: list = [None]
+
+    only = {
+        s for s in os.environ.get("PROBES", "").split(",") if s.strip()
+    }  # PROBES=a,b,c restricts the run (1B targets the layout lanes)
+
     def run(name, fn):
+        if only and name not in only:
+            return
+        _meter[0] = None
         secs, extra = timed(fn)
         results[name] = {
             "secs": secs,
             "rows_per_sec": int(n / secs) if secs else None,
             **(extra or {}),
         }
+        if _meter[0] is not None:
+            results[name].update(_plan_metrics(_meter[0]))
+        print(f"# {name}: {json.dumps(results[name])}", file=sys.stderr)
+
+    def _count_metered(df) -> dict:
+        # meter the counting frame ITSELF and drive it with collect():
+        # .count()/.first() spawn a separate QueryExecution, leaving the
+        # stashed plan's SQLMetrics empty
+        cnt = df.groupBy().agg(F.count(F.lit(1)).alias("out_rows"))
+        _meter[0] = cnt
+        return {"out_rows": cnt.collect()[0][0]}
 
     run(
         "tumbling_1min",
-        lambda: (
-            lambda df: {"out_rows": df.count()}
-        )(
+        lambda: _count_metered(
             tumbling_window_agg(
                 ev,
                 ts_col="ts",
@@ -127,10 +190,12 @@ def main() -> None:
     # bug found in round 7 — the r6 "88 s rolling at 100M" row measured
     # the gold-grain materialization, not the window).
     def _consume_rolled(rolled):
-        row = rolled.groupBy().agg(
+        agg = rolled.groupBy().agg(
             F.count(F.lit(1)).alias("out_rows"),
             F.sum("n_30m").alias("checksum_n30m"),
-        ).first()
+        )
+        _meter[0] = agg
+        row = agg.collect()[0]
         return {"out_rows": row["out_rows"], "checksum_n30m": row["checksum_n30m"]}
 
     run(
@@ -160,7 +225,7 @@ def main() -> None:
         "gold_publish_bucketed",
         lambda: (
             write_bucketed_sorted_table(
-                per_min, "probe_gold_minute_bkt", "video_id", ["minute"], 16
+                per_min, "probe_gold_minute_bkt", "video_id", ["minute"], n_buckets
             )
             or {"out_rows": None}
         ),
@@ -194,7 +259,7 @@ def main() -> None:
         "events_publish_bucketed",
         lambda: (
             write_bucketed_sorted_table(
-                ev, "probe_events_bkt", "user_id", ["ts", "event_id"], 16
+                ev, "probe_events_bkt", "user_id", ["ts", "event_id"], n_buckets
             )
             or {"out_rows": None}
         ),
@@ -207,20 +272,32 @@ def main() -> None:
             order_cols=["ts", "event_id"],
         )
         plan = latest._jdf.queryExecution().executedPlan().toString()
-        return {
-            "out_rows": latest.count(),
-            "exchange_in_plan": "Exchange" in plan,
-        }
+        out = _count_metered(latest)
+        out["exchange_in_plan"] = "Exchange" in plan
+        return out
 
     run("latest_per_key_bucketed", _latest_bucketed)
     spark.sql("DROP TABLE IF EXISTS probe_events_bkt")
     run(
         "latest_per_key",
-        lambda: {
-            "out_rows": latest_per_key(
-                ev, ["user_id"], order_cols=["ts", "event_id"]
-            ).count()
-        },
+        lambda: _count_metered(
+            latest_per_key(ev, ["user_id"], order_cols=["ts", "event_id"])
+        ),
+    )
+    # the publish's per-bucket sort, metered: EliminateSorts prunes a
+    # bare sortWithinPartitions under an aggregate, but a window FORCES
+    # the same 16-partition sort (one task per bucket, the publish's
+    # exact per-task memory pressure), and its SortExec spillSize is
+    # walkable — the 1B one-file-per-bucket question (VERDICT r7 #4)
+    run(
+        "publish_sort_probe_16way",
+        lambda: _count_metered(
+            latest_per_key(
+                ev.repartition(n_buckets, F.col("user_id")),
+                ["user_id"],
+                order_cols=["ts", "event_id"],
+            )
+        ),
     )
     run(
         "distinct_users",
