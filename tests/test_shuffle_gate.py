@@ -72,3 +72,65 @@ def test_gate_pass_then_fail_on_tampered_baseline(tmp_path):
     bad = _run_gate(artifact, q)
     assert bad.returncode == 1, bad.stdout + bad.stderr
     assert "GATE: FAIL" in bad.stdout and "UNCHANGED module" in bad.stdout
+
+
+def test_max_broadcast_tracked_and_hint_survives_threshold_off(spark):
+    """The cap discriminator's premise: with the auto-broadcast
+    threshold off, an explicit F.broadcast hint still plans a
+    BroadcastExchange while an unhinted equi-join does not."""
+    fact = spark.range(0, 50_000).select((F.col("id") % 100).alias("k"), "id")
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("v").alias("v")
+    )
+    m = measure(fact.join(F.broadcast(dim), "k"))
+    assert m["max_broadcast_bytes"] > 0
+    assert m["max_broadcast_bytes"] <= m["broadcast_bytes"]
+
+    for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(key, "-1")
+    try:
+        hinted = measure(fact.join(F.broadcast(dim), "k"))
+        assert hinted["broadcasts"] >= 1  # the hint survives
+        plain = measure(fact.join(dim, "k"))
+        assert plain["broadcasts"] == 0  # AQE's choice is gone
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def _run_gate_cap(artifact, cap, *args):
+    env = dict(
+        os.environ,
+        SVH_SHUFFLE_ARTIFACT=artifact,
+        SVH_SHUFFLE_MIN_BYTES="1000",
+        SVH_BROADCAST_CAP_BYTES=str(cap),
+    )
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "shuffle_gate.py"),
+         SF_DIR, *args],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+
+
+def test_cap_fails_hinted_but_passes_aqe_broadcasts(tmp_path):
+    """With a 1000-byte cap every broadcast is a suspect.
+    join_enrich_revenue (explicit F.broadcast dim hints) must HARD-FAIL;
+    TPC-H Q4 (no hints — its big broadcast is AQE's runtime choice) must
+    pass with an 'AQE-chosen' note. (The flagship itself is unusable
+    here: finalize_bounded collapses it to a LocalTableScan with no
+    walkable metrics.)"""
+    artifact = os.path.join(str(tmp_path), "m.json")
+    bad = _run_gate_cap(artifact, 1000, "--record", "join_enrich_revenue")
+    assert bad.returncode == 1, bad.stdout + bad.stderr
+    assert "HINTED broadcast" in bad.stdout and "GATE: FAIL" in bad.stdout
+
+    ok = _run_gate_cap(artifact, 1000, "--record", "tpch_q4_order_priority")
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    assert "AQE-chosen" in ok.stdout and "GATE: PASS" in ok.stdout
