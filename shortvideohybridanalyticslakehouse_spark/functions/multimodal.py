@@ -2762,17 +2762,27 @@ def _ima_step(pred: int, idx: int, sample: int) -> tuple[int, int, int]:
     return code, pred, idx
 
 
-def adpcm_encode(samples) -> tuple[int, bytes]:
+def adpcm_encode(samples, start_idx: int = 0) -> tuple[int, bytes]:
     """Encode an int sequence as one IMA ADPCM block body: 4-byte header
-    (predictor = exact first sample, step index 0, reserved) + low-first
+    (predictor = exact first sample, step index, reserved) + low-first
     nibble pairs for samples[1:]. Returns (n_samples, block_bytes)."""
+    n, block, _ = adpcm_encode_block(samples, start_idx)
+    return n, block
+
+
+def adpcm_encode_block(samples, start_idx: int = 0) -> tuple[int, bytes, int]:
+    """One-block encode that also returns the END step index, so a
+    multi-block encoder can carry the adapted step across block
+    boundaries (each block header still stores its own predictor+index,
+    keeping every block independently decodable — the spec's seekability
+    property)."""
     import numpy as np
 
     s = [int(v) for v in np.asarray(samples, dtype=np.int64)]
     if not s:
-        return 0, b""
+        return 0, b"", start_idx
     pred = max(-32768, min(32767, s[0]))
-    idx = 0
+    idx = max(0, min(88, int(start_idx)))
     out = bytearray()
     out += int(pred & 0xFFFF).to_bytes(2, "little")
     out.append(idx)
@@ -2785,7 +2795,7 @@ def adpcm_encode(samples) -> tuple[int, bytes]:
         nibbles.append(0)  # pad nibble, ignored via samples_per_block
     for lo, hi in zip(nibbles[::2], nibbles[1::2]):
         out.append(lo | (hi << 4))
-    return len(s), bytes(out)
+    return len(s), bytes(out), idx
 
 
 def adpcm_decode_block(block: bytes, n_samples: int):
@@ -2820,49 +2830,85 @@ def adpcm_decode_block(block: bytes, n_samples: int):
     return np.asarray(out, dtype=np.int16)
 
 
-def encode_wav_adpcm(sample_rate: int, samples) -> bytes:
-    """RIFF/WAVE container, WAVE_FORMAT_IMA_ADPCM (0x11), mono, ONE block
-    spanning the data chunk (a valid degenerate blocking); the fmt
-    extension carries samples_per_block so decode is exact, padding
-    nibble and all."""
-    n, block = adpcm_encode(samples)
-    if n > 0xFFFF:
+_ADPCM_STD_BLOCK_SAMPLES = 505  # 256-byte mono blocks: 4 + 504/2
+
+
+def encode_wav_adpcm(
+    sample_rate: int, samples, block_samples: int | None = None
+) -> bytes:
+    """RIFF/WAVE container, WAVE_FORMAT_IMA_ADPCM (0x11), mono.
+
+    Short inputs (and explicit ``block_samples`` >= n) emit the legacy
+    ONE-block form byte-identically (no fact chunk — the committed
+    fixture hashes stay valid). Longer inputs auto-block at the standard
+    505 samples / 256 bytes: uniform block_align, each block's header
+    re-seeds the predictor from its first sample while the adapted step
+    index carries across blocks, and a ``fact`` chunk records the true
+    total sample count (the spec's way to drop the final block's pad)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n_total = len(s)
+    if block_samples is not None and not 1 <= block_samples <= 0xFFFF:
         # samples-per-block is a 2-byte field; silently wrapping it would
         # make decode return a truncated array with no error.
         raise ValueError(
-            f"single-block IMA ADPCM caps at 65535 samples, got {n}"
+            f"samples per block must be in [1, 65535], got {block_samples}"
         )
 
     def _le(v: int, nb: int) -> bytes:
         return int(v).to_bytes(nb, "little")
 
-    block_align = len(block)
+    single = block_samples is None and n_total <= 0xFFFF
+    if block_samples is None:
+        block_samples = n_total if single else _ADPCM_STD_BLOCK_SAMPLES
+    single = single or n_total <= block_samples
+
+    if single:
+        n, block = adpcm_encode(s)
+        block_align, spb, data_body, fact = len(block), n, block, b""
+    else:
+        spb = block_samples
+        block_align = 4 + (spb - 1 + 1) // 2
+        idx = 0
+        chunks = []
+        for off in range(0, n_total, spb):
+            _, block, idx = adpcm_encode_block(s[off : off + spb], idx)
+            chunks.append(block.ljust(block_align, b"\x00"))
+        data_body = b"".join(chunks)
+        fact = b"fact" + _le(4, 4) + _le(n_total, 4)
+
     fmt = (
         b"fmt "
         + _le(20, 4)
         + _le(0x11, 2)  # WAVE_FORMAT_IMA_ADPCM
         + _le(1, 2)  # mono
         + _le(sample_rate, 4)
-        + _le(max(1, (sample_rate * block_align) // max(n, 1)), 4)
+        + _le(max(1, (sample_rate * block_align) // max(spb, 1)), 4)
         + _le(block_align, 2)
         + _le(4, 2)  # bits per (encoded) sample
         + _le(2, 2)  # cbSize
-        + _le(n, 2)  # samples per block
+        + _le(spb, 2)  # samples per block
     )
-    data = b"data" + _le(len(block), 4) + block + (
-        b"\x00" if len(block) % 2 else b""
+    data = b"data" + _le(len(data_body), 4) + data_body + (
+        b"\x00" if len(data_body) % 2 else b""
     )
-    body = b"WAVE" + fmt + data
+    body = b"WAVE" + fmt + fact + data
     return b"RIFF" + _le(len(body), 4) + body
 
 
 def decode_wav_adpcm(payload: bytes):
-    """Parse + decode a mono IMA ADPCM WAV produced by encode_wav_adpcm
-    (single block; samples_per_block from the fmt extension). Returns
-    (sample_rate, n_samples, int16 samples)."""
+    """Parse + decode a mono IMA ADPCM WAV produced by encode_wav_adpcm.
+    Without a ``fact`` chunk the data is one block of samples_per_block
+    samples (the legacy form); with one, the data is split at
+    block_align strides and the fact chunk's total sample count trims
+    the final block's padding. Returns (sample_rate, n_samples,
+    int16 samples)."""
+    import numpy as np
+
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    fmt = data = None
+    fmt = data = fact = None
     i = 12
     end = min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
     while i + 8 <= end:
@@ -2875,6 +2921,8 @@ def decode_wav_adpcm(payload: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = int.from_bytes(body[0:4], "little")
         i += 8 + size + (size % 2)
     if fmt is None or data is None or len(fmt) < 20:
         raise ValueError("WAV missing fmt/data chunk")
@@ -2883,8 +2931,26 @@ def decode_wav_adpcm(payload: bytes):
     if int.from_bytes(fmt[2:4], "little") != 1:
         raise ValueError("only mono IMA ADPCM supported here")
     sample_rate = int.from_bytes(fmt[4:8], "little")
-    n = int.from_bytes(fmt[18:20], "little")
-    return sample_rate, n, adpcm_decode_block(data, n)
+    spb = int.from_bytes(fmt[18:20], "little")
+    if fact is None:
+        return sample_rate, spb, adpcm_decode_block(data, spb)
+    block_align = int.from_bytes(fmt[12:14], "little")
+    if block_align < 4:
+        raise ValueError("IMA ADPCM block_align must be >= 4")
+    parts = []
+    remaining = fact
+    for off in range(0, len(data), block_align):
+        if remaining <= 0:
+            break
+        take = min(spb, remaining)
+        parts.append(adpcm_decode_block(data[off : off + block_align], take))
+        remaining -= take
+    if remaining > 0:
+        raise ValueError("fact count exceeds decodable blocks")
+    samples = (
+        np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
+    )
+    return sample_rate, fact, samples
 
 
 def synthetic_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -5,7 +5,9 @@ the published algorithm on hand-checkable cases)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
+from shortvideohybridanalyticslakehouse_spark.functions import multimodal as mm
 from shortvideohybridanalyticslakehouse_spark.functions.multimodal import (
     IMA_INDEX_TABLE,
     IMA_STEP_TABLE,
@@ -111,3 +113,106 @@ def test_adpcm_fuzz_never_crashes():
             pass  # the documented rejection path
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Multi-block form (round 8): standard 505-sample / 256-byte blocks with
+# a fact chunk; legacy single-block bytes must stay IDENTICAL.
+# ---------------------------------------------------------------------------
+
+
+def _ref_multiblock_decode(samples, spb):
+    """Reference: encode chunk-by-chunk carrying the step index, decode
+    each block independently — what the container round-trip must equal."""
+    idx = 0
+    out = []
+    for off in range(0, len(samples), spb):
+        n, block, idx = mm.adpcm_encode_block(samples[off : off + spb], idx)
+        out.append(mm.adpcm_decode_block(block, n))
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.int16)
+
+
+def test_multiblock_roundtrip_matches_per_block_reference():
+    rng = np.random.default_rng(11)
+    for n in (506, 1200, 505 * 3 + 1):
+        s = rng.integers(-32768, 32767, n, dtype=np.int64)
+        payload = mm.encode_wav_adpcm(16000, s, block_samples=505)
+        rate, n_out, dec = mm.decode_wav_adpcm(payload)
+        assert (rate, n_out) == (16000, n)
+        assert np.array_equal(dec, _ref_multiblock_decode(s, 505))
+
+
+def test_step_index_carries_across_blocks():
+    """A loud first block adapts the step index high; the second block's
+    header must inherit it (not reset to 0), which changes its decode."""
+    s = np.concatenate(
+        [
+            np.tile([32000, -32000], 300)[:505],  # drives idx to the top
+            np.arange(100, dtype=np.int64),
+        ]
+    )
+    payload = mm.encode_wav_adpcm(8000, s, block_samples=505)
+    # block 2 starts at data offset block_align; its header byte 2 is idx
+    # locate the data chunk: fact chunk present => multi-block layout
+    i = 12
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"data":
+            data = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)
+    assert data is not None
+    assert data[256 + 2] > 0  # inherited step index, not a reset
+
+
+def test_large_input_autoblocks_past_the_old_cap():
+    n = 70_000  # would have raised at the old 65535 single-block cap
+    s = (np.arange(n, dtype=np.int64) * 37 % 8001) - 4000
+    payload = mm.encode_wav_adpcm(8000, s)
+    rate, n_out, dec = mm.decode_wav_adpcm(payload)
+    assert n_out == n and len(dec) == n
+    assert np.array_equal(dec, _ref_multiblock_decode(s, 505))
+
+
+def test_legacy_single_block_bytes_unchanged():
+    """Short inputs must emit the exact pre-multiblock container (no
+    fact chunk) so committed fixture hashes stay valid."""
+    s = ((np.arange(240, dtype=np.int64) * 29) % 8001) - 4000
+    payload = mm.encode_wav_adpcm(8000, s)
+    assert b"fact" not in payload
+    rate, n_out, dec = mm.decode_wav_adpcm(payload)
+    assert (rate, n_out) == (8000, 240)
+    n_ref, block = mm.adpcm_encode(s)
+    assert np.array_equal(dec, mm.adpcm_decode_block(block, n_ref))
+
+
+def test_block_samples_validation():
+    with pytest.raises(ValueError):
+        mm.encode_wav_adpcm(8000, [1, 2, 3], block_samples=0)
+    with pytest.raises(ValueError):
+        mm.encode_wav_adpcm(8000, [1, 2, 3], block_samples=0x10000)
+
+
+def test_multiblock_fuzz_roundtrip_and_truncation_rejected():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(1, 2000))
+        spb = int(rng.integers(2, 600))
+        s = rng.integers(-32768, 32767, n, dtype=np.int64)
+        payload = mm.encode_wav_adpcm(8000, s, block_samples=spb)
+        rate, n_out, dec = mm.decode_wav_adpcm(payload)
+        assert n_out == n
+        assert np.array_equal(dec, _ref_multiblock_decode(s, spb))
+    # fact claiming more samples than the data holds must raise
+    s = rng.integers(-32768, 32767, 1200, dtype=np.int64)
+    payload = bytearray(mm.encode_wav_adpcm(8000, s, block_samples=505))
+    i = 12
+    while i + 8 <= len(payload):
+        cid = bytes(payload[i : i + 4])
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fact":
+            payload[i + 8 : i + 12] = (10_000_000).to_bytes(4, "little")
+        i += 8 + size + (size % 2)
+    with pytest.raises(ValueError):
+        mm.decode_wav_adpcm(bytes(payload))
