@@ -2989,6 +2989,46 @@ def synthetic_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     return df.select(id_col).mapInPandas(batches, out_schema)
 
 
+def synthetic_adpcm_multiblock_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Multi-block IMA ADPCM fixtures (round 8): 2-3 standard 505-sample
+    blocks per doc, same closed-form sample contract as the single-block
+    fixture —
+
+        sample_rate = 8000
+        n_samples   = 900 + id % 300     (always > 505: >= 2 blocks)
+        sample i    = ((id * 53 + i * 29) % 8001) - 4000
+
+    so the SQL oracle can replay the encode+decode fold WITH the
+    block-boundary semantics: predictor re-seeds from the block's first
+    sample (stored exactly), the adapted step index carries across."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = 900 + d % 300
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 53 + i * 29) % 8001) - 4000
+                payloads.append(
+                    encode_wav_adpcm(8000, samples, block_samples=505)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
 ADPCM_SAMPLES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -154,6 +154,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext110,
         queries_ext111,
         queries_ext112,
+        queries_ext113,
     )
 
     return REGISTRY
