@@ -155,6 +155,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext111,
         queries_ext112,
         queries_ext113,
+        queries_ext114,
     )
 
     return REGISTRY
