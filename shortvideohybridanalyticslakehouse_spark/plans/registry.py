@@ -156,6 +156,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext112,
         queries_ext113,
         queries_ext114,
+        queries_ext115,
     )
 
     return REGISTRY
