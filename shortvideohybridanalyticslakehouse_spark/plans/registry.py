@@ -157,6 +157,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext113,
         queries_ext114,
         queries_ext115,
+        queries_ext116,
     )
 
     return REGISTRY
