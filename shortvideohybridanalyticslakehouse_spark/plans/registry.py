@@ -158,6 +158,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext114,
         queries_ext115,
         queries_ext116,
+        queries_ext117,
     )
 
     return REGISTRY
