@@ -419,3 +419,97 @@ def _round6(x: float) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters seasonal streaming twin (round 8): the ext117 batch fold
+# as per-key incremental state — level/trend plus the 24-slot seasonal
+# vector carried in an ARRAY state column
+# ---------------------------------------------------------------------------
+
+HW_PERIOD = 24
+HW_OUTPUT_SCHEMA = (
+    "event_type string, n_hours bigint, level_final double, "
+    "trend_final double, season_next double, forecast_next double, "
+    "mae_one_step double"
+)
+HW_STATE_SCHEMA = (
+    "l double, b double, err_sum double, n bigint, n_hours bigint, "
+    "last bigint, seasons array<double>"
+)
+
+
+def holt_winters_incremental(hour_counts: DataFrame) -> DataFrame:
+    """Streaming twin of event_type_holt_winters (queries_ext117): the
+    additive-seasonal recurrence (alpha=1/2, beta=1/4, gamma=1/4,
+    round-12 quantized per state write, zero-start seasonals)
+    maintained as per-key state across micro-batches.
+
+    Same delivery contract as holt_incremental: per-(event_type, hour)
+    counts, in order, replays at or below the high-water mark dropped.
+    The seasonal vector rides an array<double> state column — 24 slots,
+    exactly the batch fold's s-array — so the streamed row is
+    bit-identical to the batch query on the same closed hourly set
+    (tests/test_stream_hw_twin.py). The season index is derived from
+    the hour epoch ((epoch // 3600) % 24, UTC), matching the batch
+    side's EXTRACT(hour) on date_trunc'd timestamps.
+    """
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            level, trend, err_sum, n, n_hours, last, seasons = state.get
+            level, trend, err_sum = float(level), float(trend), float(err_sum)
+            n, n_hours, last = int(n), int(n_hours), int(last)
+            seasons = [float(v) for v in seasons]
+            started = True
+        else:
+            level, trend, err_sum, n, n_hours, last = 0.0, 0.0, 0.0, 0, 0, -1
+            seasons = [0.0] * HW_PERIOD
+            started = False
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("hour_epoch")
+        for r in rows.itertuples(index=False):
+            he, x = int(r.hour_epoch), float(int(r.x))
+            if he <= last:
+                continue  # replayed hour: already folded
+            hod = (he // 3600) % HW_PERIOD
+            if not started:
+                level = x
+                started = True
+            else:
+                err_sum = err_sum + abs(x - (level + trend + seasons[hod]))
+                n += 1
+                new_l = _round12(
+                    0.5 * (x - seasons[hod]) + 0.5 * (level + trend)
+                )
+                trend = _round12(0.25 * (new_l - level) + 0.75 * trend)
+                seasons[hod] = _round12(
+                    0.25 * (x - new_l) + 0.75 * seasons[hod]
+                )
+                level = new_l
+            n_hours += 1
+            last = he
+        state.update((level, trend, err_sum, n, n_hours, last, seasons))
+        hod_next = ((last // 3600) + 1) % HW_PERIOD if last >= 0 else 0
+        s_next = seasons[hod_next]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_hours": [n_hours],
+                "level_final": [_round6(level)],
+                "trend_final": [_round6(trend)],
+                "season_next": [_round6(s_next)],
+                "forecast_next": [_round6(level + trend + s_next)],
+                "mae_one_step": [_round6(err_sum / n) if n > 0 else None],
+            }
+        )
+
+    return hour_counts.groupBy("event_type").applyInPandasWithState(
+        fn,
+        HW_OUTPUT_SCHEMA,
+        HW_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
