@@ -159,6 +159,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext115,
         queries_ext116,
         queries_ext117,
+        queries_ext118,
     )
 
     return REGISTRY
