@@ -160,6 +160,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext116,
         queries_ext117,
         queries_ext118,
+        queries_ext119,
     )
 
     return REGISTRY
