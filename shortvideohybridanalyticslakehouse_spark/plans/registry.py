@@ -161,6 +161,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext117,
         queries_ext118,
         queries_ext119,
+        queries_ext120,
     )
 
     return REGISTRY
