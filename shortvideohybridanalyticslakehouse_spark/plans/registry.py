@@ -162,6 +162,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext118,
         queries_ext119,
         queries_ext120,
+        queries_ext121,
     )
 
     return REGISTRY
