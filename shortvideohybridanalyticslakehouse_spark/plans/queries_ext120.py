@@ -95,10 +95,10 @@ FROM per_doc GROUP BY 1
 )
 
 
-def _per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
-    )
+def doc_term_freqs(docs: DataFrame) -> DataFrame:
+    """Per-(doc, term) frequencies under the corpus-wide ext9 token
+    rule; the frame both the batch vocab and the streamed vocab MV
+    (tests/test_stream_dsir_mv.py) aggregate."""
     tok = docs.select(
         "doc_id",
         "source",
@@ -107,10 +107,15 @@ def _per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("term"),
     )
-    dt = tok.groupBy("doc_id", "source", "lang", "term").agg(
+    return tok.groupBy("doc_id", "source", "lang", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    vocab = dt.groupBy("term").agg(
+
+
+def vocab_from_dt(dt: DataFrame) -> DataFrame:
+    """Target/raw unigram counts per term — a pure counting monoid, so a
+    streaming MV maintains it incrementally."""
+    return dt.groupBy("term").agg(
         F.sum("tf").cast("bigint").alias("cnt_raw"),
         F.sum(
             F.when(F.col("lang") == _TARGET_LANG, F.col("tf")).otherwise(0)
@@ -118,6 +123,11 @@ def _per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cnt_tgt"),
     )
+
+
+def dsir_scores(dt: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-document DSIR importance from any (dt, vocab) pair — batch
+    and streamed-vocab paths share this scoring verbatim."""
     tots = vocab.agg(
         F.sum("cnt_raw").cast("bigint").alias("n_raw"),
         F.sum("cnt_tgt").cast("bigint").alias("n_tgt"),
@@ -148,6 +158,14 @@ def _per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dsir_micro"),
         )
     )
+
+
+def _per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    dt = doc_term_freqs(docs)
+    return dsir_scores(dt, vocab_from_dt(dt))
 
 
 @register("dsir_importance_topk", _DSIR_TOPK_ORACLE)
