@@ -163,6 +163,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext119,
         queries_ext120,
         queries_ext121,
+        queries_ext122,
     )
 
     return REGISTRY
