@@ -164,6 +164,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext120,
         queries_ext121,
         queries_ext122,
+        queries_ext123,
     )
 
     return REGISTRY
