@@ -165,6 +165,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext121,
         queries_ext122,
         queries_ext123,
+        queries_ext124,
     )
 
     return REGISTRY
