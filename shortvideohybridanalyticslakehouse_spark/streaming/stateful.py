@@ -513,3 +513,82 @@ def holt_winters_incremental(hour_counts: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries streaming twin (round 8): the ext114 per-day frequent-items
+# fold as per-key incremental state
+# ---------------------------------------------------------------------------
+
+MG_K = 4
+MG_OUTPUT_SCHEMA = (
+    "day string, n_events bigint, "
+    + ", ".join(f"item_{j} bigint, cnt_{j} bigint" for j in range(MG_K))
+)
+MG_STATE_SCHEMA = (
+    "items array<bigint>, cnts array<bigint>, n_events bigint, last bigint"
+)
+
+
+def misra_gries_incremental(day_items: DataFrame) -> DataFrame:
+    """Streaming twin of misra_gries_daily_users (queries_ext114): the
+    k=4 counter summary maintained as per-day state across
+    micro-batches.
+
+    Delivery contract mirrors the holt twins: rows are (day, event_id,
+    uid), each event delivered once in event_id order per day (replays
+    at or below the high-water mark are dropped). The update rule is the
+    IDENTICAL match / insert-first-zero-slot / decrement-all fold the
+    batch query emits for both engines, applied in the identical
+    event_id order — so the streamed summary is bit-identical to the
+    batch fold on the same closed set (tests/test_stream_mg_twin.py).
+
+    MG is order-dependent but ALSO mergeable (Agarwal et al. 2012) with
+    the same error bound; this twin pins the sequential contract the
+    oracle replays, while the property test pins the bound that
+    survives a merge-based distributed rewrite.
+    """
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, cnts, n_events, last = state.get
+            items, cnts = list(items), list(cnts)
+            n_events, last = int(n_events), int(last)
+        else:
+            items, cnts = [-1] * MG_K, [0] * MG_K
+            n_events, last = 0, -1
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("event_id")
+        for r in rows.itertuples(index=False):
+            eid, u = int(r.event_id), int(r.uid)
+            if eid <= last:
+                continue  # replayed event: already folded
+            if u in items:
+                cnts[items.index(u)] += 1
+            else:
+                empty = next(
+                    (j for j in range(MG_K) if cnts[j] == 0), None
+                )
+                if empty is not None:
+                    items[empty] = u
+                    cnts[empty] = 1
+                else:
+                    cnts = [c - 1 for c in cnts]
+            n_events += 1
+            last = eid
+        state.update((items, cnts, n_events, last))
+        out = {"day": [key[0]], "n_events": [n_events]}
+        for j in range(MG_K):
+            out[f"item_{j}"] = [items[j]]
+            out[f"cnt_{j}"] = [cnts[j]]
+        yield pd.DataFrame(out)
+
+    return day_items.groupBy("day").applyInPandasWithState(
+        fn,
+        MG_OUTPUT_SCHEMA,
+        MG_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
