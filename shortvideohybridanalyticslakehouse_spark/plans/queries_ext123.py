@@ -92,6 +92,13 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence graph — 3 damped iterations replayed bit-for-bit by
     the oracle."""
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    return textrank_over(docs)
+
+
+def textrank_over(docs: DataFrame) -> DataFrame:
+    """The full TextRank pipeline over an arbitrary documents frame —
+    shared by the registry query and the 10x scale probe
+    (tools/scale_probe_round8c.py)."""
     toks = docs.select(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
