@@ -166,6 +166,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext122,
         queries_ext123,
         queries_ext124,
+        queries_ext125,
     )
 
     return REGISTRY
