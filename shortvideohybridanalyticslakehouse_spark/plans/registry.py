@@ -167,6 +167,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext123,
         queries_ext124,
         queries_ext125,
+        queries_ext126,
     )
 
     return REGISTRY
