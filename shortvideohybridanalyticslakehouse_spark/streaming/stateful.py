@@ -592,3 +592,79 @@ def misra_gries_incremental(day_items: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley streaming twin (round 8): the ext125 drift fold as
+# per-key incremental state — the test IS a sequential detector, so the
+# streaming form is its native habitat
+# ---------------------------------------------------------------------------
+
+PH_OUTPUT_SCHEMA = (
+    "event_type string, n_days bigint, ph_m_micro bigint, "
+    "ph_min_micro bigint, ph_stat_micro bigint, alarm_day_idx bigint, "
+    "drift_detected boolean"
+)
+PH_STATE_SCHEMA = (
+    "n bigint, total bigint, m bigint, mn bigint, alarm bigint, "
+    "last bigint"
+)
+
+
+def page_hinkley_incremental(
+    day_counts: DataFrame,
+    delta_micro: int = 2_000_000,
+    lambda_micro: int = 30_000_000,
+) -> DataFrame:
+    """Streaming twin of page_hinkley_daily_drift (queries_ext125):
+    exact-integer m/M accumulators maintained as per-key state across
+    micro-batches, alarm latched at the first day the statistic clears
+    lambda.
+
+    Delivery contract mirrors the holt twins: per-(event_type,
+    day_epoch) counts, in order, replays at or below the high-water
+    mark dropped. The running-mean term divides a non-negative
+    quantity, so Python's floor // matches both engines' division in
+    the batch fold — the streamed row is bit-identical to the batch
+    query on the same closed set (tests/test_stream_ph_twin.py)."""
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, total, m, mn, alarm, last = (int(v) for v in state.get)
+        else:
+            n, total, m, mn, alarm, last = 0, 0, 0, 0, -1, -1
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("day_epoch")
+        for r in rows.itertuples(index=False):
+            de, x = int(r.day_epoch), int(r.x)
+            if de <= last:
+                continue  # replayed day: already folded
+            n += 1
+            total += x
+            m += x * 1_000_000 - (total * 1_000_000) // n - delta_micro
+            mn = min(mn, m)
+            if alarm < 0 and m - mn > lambda_micro:
+                alarm = n
+            last = de
+        state.update((n, total, m, mn, alarm, last))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [n],
+                "ph_m_micro": [m],
+                "ph_min_micro": [mn],
+                "ph_stat_micro": [m - mn],
+                "alarm_day_idx": [alarm if alarm >= 0 else None],
+                "drift_detected": [alarm >= 0],
+            }
+        )
+
+    return day_counts.groupBy("event_type").applyInPandasWithState(
+        fn,
+        PH_OUTPUT_SCHEMA,
+        PH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
