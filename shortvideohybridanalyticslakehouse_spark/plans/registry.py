@@ -168,6 +168,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext124,
         queries_ext125,
         queries_ext126,
+        queries_ext127,
     )
 
     return REGISTRY
