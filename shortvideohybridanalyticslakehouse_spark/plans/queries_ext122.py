@@ -150,13 +150,9 @@ FROM eff
 )
 
 
-@register("markov_removal_attribution", _REMOVAL_ORACLE)
-def q_markov_removal_attribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per channel: full-chain and channel-removed start->conversion
-    absorption probabilities (K=60 in-plan value iterations), the
-    removal effect, and normalized attribution shares."""
+def transition_pmat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5x7 row-major transition-probability array (one-row frame) —
+    shared by the removal-effect and expected-steps queries."""
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.min(F.col("ts").cast("long")).alias("t0"))
     keyed = ev.crossJoin(F.broadcast(anchor)).select(
@@ -239,13 +235,23 @@ def q_markov_removal_attribution(
         .otherwise(F.lit(0.0))
         .alias("p"),
     )
-    pmat = cells.agg(
+    return cells.agg(
         F.array_sort(
             F.collect_list(
                 F.struct((F.col("i") * _NT + F.col("j")).alias("o"), F.col("p"))
             )
         ).alias("cells")
     ).select(F.transform(F.col("cells"), lambda c: c["p"]).alias("p"))
+
+
+@register("markov_removal_attribution", _REMOVAL_ORACLE)
+def q_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per channel: full-chain and channel-removed start->conversion
+    absorption probabilities (K=60 in-plan value iterations), the
+    removal effect, and normalized attribution shares."""
+    pmat = transition_pmat(spark, sf_dir)
 
     def viter(rc):
         """K rounds of v' = P_transient v + P_conv with v[rc] pinned 0."""

@@ -169,6 +169,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext125,
         queries_ext126,
         queries_ext127,
+        queries_ext128,
     )
 
     return REGISTRY
