@@ -92,13 +92,43 @@ def main() -> None:
         except OSError:
             return []
 
+    # Bench integrity guard (VERDICT r8 #2): BENCHDETAIL_r08 was recorded
+    # at loadavg 10 with spread_p90 0.946 s, minting phantom >2x movers the
+    # judge had to adjudicate by hand. Two defenses: (a) warn loudly (and
+    # stamp the artifact) when the host is already busy at start; (b)
+    # per-query adaptive retrials — when a query's trial spread exceeds its
+    # median, run up to MAX_EXTRA more trials and report the median over
+    # all of them with one worst-outlier trial dropped from the spread.
+    MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "6"))
+    MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3"))
+    SPREAD_FLOOR = 0.25  # sub-250ms jitter is never worth a retrial
+
     load_start = loadavg()
+    host_noisy_at_start = bool(load_start) and load_start[0] > MAX_LOAD
+    if host_noisy_at_start:
+        print(
+            f"WARNING: loadavg {load_start[0]:.1f} > {MAX_LOAD:g} at bench "
+            "start — medians may embed CPU steal; artifact is stamped "
+            "host_noisy_at_start=true (treat cross-round deltas as suspect)",
+            file=sys.stderr,
+        )
+
+    def _robust(trials: list[float]) -> tuple[float, float]:
+        """(median, spread) with the single worst trial dropped when n>=4 —
+        max-min over raw trials never shrinks with retrials, so the spread
+        that gates retrial must be outlier-trimmed."""
+        t = sorted(trials)
+        if len(t) >= 4:
+            t = t[:-1]
+        return t[len(t) // 2], t[-1] - t[0]
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    retrialed: dict[str, int] = {}
     for name in names:
         fn, _ = REGISTRY[name]
-        trials: list[float] = []
-        for _trial in range(TRIALS):
+
+        def one_trial() -> float:
             t0 = time.time()
             df = fn(spark, sf_dir)
             # Force full computation of every output column (a bare count()
@@ -108,10 +138,19 @@ def main() -> None:
             df.select(
                 F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("h")
             ).collect()
-            trials.append(time.time() - t0)
-        trials.sort()
-        timings[name] = round(trials[len(trials) // 2], 3)
-        spreads[name] = round(trials[-1] - trials[0], 3)
+            return time.time() - t0
+
+        trials = [one_trial() for _ in range(TRIALS)]
+        med, spr = _robust(trials)
+        extra = 0
+        while spr > max(med, SPREAD_FLOOR) and extra < MAX_EXTRA:
+            trials.append(one_trial())
+            extra += 1
+            med, spr = _robust(trials)
+        if extra:
+            retrialed[name] = extra
+        timings[name] = round(med, 3)
+        spreads[name] = round(spr, 3)
     load_end = loadavg()
     total = round(sum(timings.values()), 3)
     spread_sorted = sorted(spreads.values())
@@ -131,6 +170,8 @@ def main() -> None:
         "spread_p90": spread_sorted[int(0.9 * (len(spread_sorted) - 1))]
         if spread_sorted
         else None,
+        "host_noisy_at_start": host_noisy_at_start,
+        "retrialed_queries": retrialed,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "query_spread_max_minus_min": spreads,

@@ -364,6 +364,105 @@ def recover_bucketed_table(location: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _scan_bucket_files(loc: str) -> tuple[dict[int, list[str]], list[str]]:
+    """List a bucketed table directory into (bucket -> files, extras).
+
+    Extras are non-data sidecars (``_SUCCESS`` and friends). A *data*
+    file (``*.parquet``/``*.orc``) whose name does not parse a bucket id
+    is a hard error: maintenance primitives below hard-link extras
+    through unchanged, so silently classifying a data file as an extra
+    would retain rows that an erasure promised to remove (ADVICE r8)."""
+    import os
+
+    by_bucket: dict[int, list[str]] = {}
+    extras: list[str] = []
+    for f in os.listdir(loc):
+        if f.startswith("."):
+            continue  # .crc shadows also carry the _NNNNN bucket pattern
+        b = _bucket_of(f)
+        if b is None:
+            if f.endswith((".parquet", ".orc")):
+                raise RuntimeError(
+                    f"non-bucketed data file in bucketed table dir: {f!r} "
+                    f"under {loc} — refusing to run maintenance that would "
+                    "pass it through unexamined"
+                )
+            extras.append(f)  # _SUCCESS and friends
+            continue
+        by_bucket.setdefault(b, []).append(f)
+    return by_bucket, extras
+
+
+def _link_untouched(
+    loc: str,
+    tmp: str,
+    by_bucket: dict[int, list[str]],
+    touched,
+    extras: list[str],
+) -> None:
+    """Hard-link every untouched bucket's files (plus extras) into the
+    staging dir — same inode, zero data IO, byte identical. Keeps .crc
+    shadows so ChecksumFileSystem stays happy with the old names."""
+    import os
+
+    for b, fs in by_bucket.items():
+        if b in touched:
+            continue
+        for f in fs:
+            os.link(os.path.join(loc, f), os.path.join(tmp, f))
+            crc = f".{f}.crc"
+            if os.path.exists(os.path.join(loc, crc)):
+                os.link(os.path.join(loc, crc), os.path.join(tmp, crc))
+    for f in extras:
+        os.link(os.path.join(loc, f), os.path.join(tmp, f))
+
+
+def _write_bucket_file(
+    df: DataFrame,
+    key: str,
+    sort_cols: Sequence[str],
+    scratch: str,
+    tmp: str,
+    bucket: int,
+    tag: str,
+) -> None:
+    """Rewrite one bucket as a single sorted file named with the bucket's
+    id so readers keep recognizing the bucket spec. No .crc for the
+    renamed file: ChecksumFileSystem tolerates a missing shadow, but a
+    stale mismatched one would fail reads."""
+    import os
+    import shutil
+    import uuid
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    (
+        df.coalesce(1)
+        .sortWithinPartitions(key, *sort_cols)
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+    part = next(
+        f for f in os.listdir(scratch)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    out = f"part-00000-{tag}-{uuid.uuid4()}_{bucket:05d}.c000.snappy.parquet"
+    os.rename(os.path.join(scratch, part), os.path.join(tmp, out))
+
+
+def _swap_table_dir(spark, table_name: str, loc: str, tmp: str) -> None:
+    """Atomic-enough directory swap: two renames, torn-swap recoverable
+    by :func:`recover_bucketed_table` in either direction."""
+    import os
+    import shutil
+
+    old = loc + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(loc, old)
+    os.rename(tmp, loc)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.sql(f"REFRESH TABLE {table_name}")
+
+
 def compact_bucketed_table(
     spark,
     table_name: str,
@@ -385,20 +484,10 @@ def compact_bucketed_table(
     shape as the streaming SCD2/MV maintainers."""
     import os
     import shutil
-    import uuid
 
     loc = table_location(spark, table_name)
     recover_bucketed_table(loc)
-    by_bucket: dict[int, list[str]] = {}
-    extras: list[str] = []
-    for f in os.listdir(loc):
-        if f.startswith("."):
-            continue  # .crc shadows also carry the _NNNNN bucket pattern
-        b = _bucket_of(f)
-        if b is None:
-            extras.append(f)  # _SUCCESS and friends
-            continue
-        by_bucket.setdefault(b, []).append(f)
+    by_bucket, extras = _scan_bucket_files(loc)
     touched = {b: fs for b, fs in by_bucket.items() if len(fs) > 1}
     if not touched:
         return 0
@@ -411,18 +500,7 @@ def compact_bucketed_table(
         latest_per_key,
     )
 
-    # untouched buckets: hard links (same inode, no copy); keep their
-    # .crc shadows so ChecksumFileSystem stays happy with the old names
-    for b, fs in by_bucket.items():
-        if b in touched:
-            continue
-        for f in fs:
-            os.link(os.path.join(loc, f), os.path.join(tmp, f))
-            crc = f".{f}.crc"
-            if os.path.exists(os.path.join(loc, crc)):
-                os.link(os.path.join(loc, crc), os.path.join(tmp, crc))
-    for f in extras:
-        os.link(os.path.join(loc, f), os.path.join(tmp, f))
+    _link_untouched(loc, tmp, by_bucket, touched, extras)
 
     scratch = loc + "._scratch"
     for b, fs in sorted(touched.items()):
@@ -433,29 +511,10 @@ def compact_bucketed_table(
             merge_keys,
             order_cols,
         )
-        shutil.rmtree(scratch, ignore_errors=True)
-        (
-            merged.coalesce(1)
-            .sortWithinPartitions(key, *sort_cols)
-            .write.mode("overwrite")
-            .parquet(scratch)
-        )
-        part = next(
-            f for f in os.listdir(scratch)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        out = f"part-00000-compact-{uuid.uuid4()}_{b:05d}.c000.snappy.parquet"
-        os.rename(os.path.join(scratch, part), os.path.join(tmp, out))
-        # no .crc for the renamed file: ChecksumFileSystem tolerates a
-        # missing shadow, but a stale mismatched one would fail reads
+        _write_bucket_file(merged, key, sort_cols, scratch, tmp, b, "compact")
     shutil.rmtree(scratch, ignore_errors=True)
 
-    old = loc + "._old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(loc, old)
-    os.rename(tmp, loc)
-    shutil.rmtree(old, ignore_errors=True)
-    spark.sql(f"REFRESH TABLE {table_name}")
+    _swap_table_dir(spark, table_name, loc, tmp)
     return len(touched)
 
 
@@ -482,6 +541,14 @@ def delete_keys_bucketed(
     file, so a delete never degrades the exchange-free window-read
     property; a delete of an absent key is a physical no-op (0, 0).
 
+    NULL-key rows are never erasure targets (an erasure request names
+    concrete subject keys), so the keep predicate is explicitly
+    ``key IS NULL OR key NOT IN (...)`` — a bare ``NOT IN`` evaluates
+    to NULL for NULL keys and would silently drop them from rewritten
+    buckets while identical rows in untouched buckets survived
+    (ADVICE r8, medium). The function asserts the physical delta equals
+    the predicate-matched count, so any future drift fails loudly.
+
     Work is O(touched buckets x bucket size), never O(table) — at 100 TB
     with 4096 buckets an erasure request rewrites ~0.02% of the table.
     Deleting a key that arrived via MOR appends removes EVERY version in
@@ -489,7 +556,6 @@ def delete_keys_bucketed(
     """
     import os
     import shutil
-    import uuid
 
     loc = table_location(spark, table_name)
     recover_bucketed_table(loc)
@@ -501,71 +567,52 @@ def delete_keys_bucketed(
         .distinct()
         .collect()
     )  # bounded: one row per touched FILE, never per deleted row
-    touched = sorted(
-        {
-            b
-            for r in hits
-            if (b := _bucket_of(os.path.basename(r.f))) is not None
-        }
-    )
+    for r in hits:
+        if _bucket_of(os.path.basename(r.f)) is None:
+            raise RuntimeError(
+                f"erasure hit in non-bucket-named data file {r.f!r} — "
+                "cannot guarantee complete erasure, aborting before any "
+                "rewrite (ADVICE r8)"
+            )
+    touched = sorted({_bucket_of(os.path.basename(r.f)) for r in hits})
     if not touched:
         return 0, 0
 
-    by_bucket: dict[int, list[str]] = {}
-    extras: list[str] = []
-    for f in os.listdir(loc):
-        if f.startswith("."):
-            continue
-        b = _bucket_of(f)
-        if b is None:
-            extras.append(f)
-        else:
-            by_bucket.setdefault(b, []).append(f)
+    by_bucket, extras = _scan_bucket_files(loc)
 
     tmp = loc + "._tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    for b, fs in by_bucket.items():
-        if b in touched:
-            continue
-        for f in fs:
-            os.link(os.path.join(loc, f), os.path.join(tmp, f))
-            crc = f".{f}.crc"
-            if os.path.exists(os.path.join(loc, crc)):
-                os.link(os.path.join(loc, crc), os.path.join(tmp, crc))
-    for f in extras:
-        os.link(os.path.join(loc, f), os.path.join(tmp, f))
+    _link_untouched(loc, tmp, by_bucket, touched, extras)
 
     cols = spark.table(table_name).columns
     scratch = loc + "._scratch"
     deleted = 0
+    matched = 0
     for b in touched:
         paths = [os.path.join(loc, f) for f in by_bucket[b]]
         bucket_df = spark.read.parquet(*paths).select(*cols)
         n_before = bucket_df.count()
-        kept = bucket_df.filter(~F.col(key).isin(vals))
-        shutil.rmtree(scratch, ignore_errors=True)
-        (
-            kept.coalesce(1)
-            .sortWithinPartitions(key, *sort_cols)
-            .write.mode("overwrite")
-            .parquet(scratch)
+        matched += bucket_df.filter(F.col(key).isin(vals)).count()
+        kept = bucket_df.filter(
+            F.col(key).isNull() | ~F.col(key).isin(vals)
         )
-        n_after = spark.read.parquet(scratch).count()
+        _write_bucket_file(kept, key, sort_cols, scratch, tmp, b, "erase")
+        n_after = spark.read.parquet(
+            os.path.join(tmp, next(
+                f for f in os.listdir(tmp)
+                if f.endswith(f"_{b:05d}.c000.snappy.parquet")
+                and "-erase-" in f
+            ))
+        ).count()
         deleted += n_before - n_after
-        part = next(
-            f
-            for f in os.listdir(scratch)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        out = f"part-00000-erase-{uuid.uuid4()}_{b:05d}.c000.snappy.parquet"
-        os.rename(os.path.join(scratch, part), os.path.join(tmp, out))
     shutil.rmtree(scratch, ignore_errors=True)
+    if deleted != matched:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"erasure accounting mismatch: predicate matched {matched} "
+            f"rows but rewrite dropped {deleted} — aborting swap"
+        )
 
-    old = loc + "._old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(loc, old)
-    os.rename(tmp, loc)
-    shutil.rmtree(old, ignore_errors=True)
-    spark.sql(f"REFRESH TABLE {table_name}")
+    _swap_table_dir(spark, table_name, loc, tmp)
     return len(touched), deleted

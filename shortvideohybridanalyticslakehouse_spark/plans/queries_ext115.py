@@ -154,37 +154,20 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     selected: list[int] = []
     out_rows: list[tuple[int, int, int, int, int]] = []
-    for rnd in range(1, MMR_K + 1):
-        if rnd == 1:
-            w = (
-                cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-                .limit(1)
-                .select(
-                    "vec_id",
-                    "rel",
-                    F.lit(0).cast("bigint").alias("max_sim"),
-                )
+    try:
+        for rnd in range(1, MMR_K + 1):
+            rows = _mmr_round(cand, sims, selected, rnd).collect()
+            if not rows:  # pool smaller than MMR_K: greedy set exhausted
+                break
+            r = rows[0]
+            selected.append(r.vec_id)
+            out_rows.append(
+                (rnd, r.vec_id, r.rel, r.max_sim, r.rel - r.max_sim)
             )
-        else:
-            w = (
-                sims.filter(
-                    F.col("cb").isin(selected)
-                    & ~F.col("ca").isin(selected)
-                )
-                .groupBy("ca", "rel")
-                .agg(F.max("sim").alias("max_sim"))
-                .orderBy(
-                    (F.col("rel") - F.col("max_sim")).desc(),
-                    F.col("ca").asc(),
-                )
-                .limit(1)
-                .select(F.col("ca").alias("vec_id"), "rel", "max_sim")
-            )
-        r = w.collect()[0]  # bounded: one row per greedy round
-        selected.append(r.vec_id)
-        out_rows.append(
-            (rnd, r.vec_id, r.rel, r.max_sim, r.rel - r.max_sim)
-        )
+    except Exception:
+        cand.unpersist()
+        sims.unpersist()
+        raise
 
     result = spark.createDataFrame(
         out_rows,
@@ -192,3 +175,31 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_score bigint",
     )
     return finalize_bounded(result, cand, sims)
+
+
+def _mmr_round(cand, sims, selected: list[int], rnd: int):
+    """One greedy MMR round's winner frame (bounded: limit 1)."""
+    if rnd == 1:
+        return (
+            cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(
+                "vec_id",
+                "rel",
+                F.lit(0).cast("bigint").alias("max_sim"),
+            )
+        )
+    return (
+        sims.filter(
+            F.col("cb").isin(selected)
+            & ~F.col("ca").isin(selected)
+        )
+        .groupBy("ca", "rel")
+        .agg(F.max("sim").alias("max_sim"))
+        .orderBy(
+            (F.col("rel") - F.col("max_sim")).desc(),
+            F.col("ca").asc(),
+        )
+        .limit(1)
+        .select(F.col("ca").alias("vec_id"), "rel", "max_sim")
+    )

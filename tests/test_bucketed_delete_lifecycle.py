@@ -133,3 +133,55 @@ def test_erase_then_compact_keeps_invariants(spark, lifecycle_table):
         (r.video_id, str(r.minute), r.n, r.ver) for r in expect.collect()
     )
     assert got == want
+
+
+def test_erase_preserves_null_keyed_rows(spark, lifecycle_table):
+    """ADVICE r8 (medium): a bare NOT IN keep predicate evaluates to
+    NULL for NULL keys, silently dropping NULL-keyed rows from rewritten
+    buckets. The fix keeps them explicitly; this pins it."""
+    # plant NULL-keyed rows — they hash into SOME bucket; erase a key
+    # from every bucket so every bucket gets rewritten
+    nulls = _rows(spark, range(0, 4), range(0, 2), ver=5).withColumn(
+        "video_id", F.lit(None).cast("long")
+    )
+    append_bucketed_sorted(nulls, TABLE, "video_id", ["minute"], N_BUCKETS)
+    n_null_before = (
+        spark.table(TABLE).filter(F.col("video_id").isNull()).count()
+    )
+    assert n_null_before == 8
+    erase_keys = list(range(0, 16))  # touches every bucket
+    victims = (
+        spark.table(TABLE).filter(F.col("video_id").isin(erase_keys)).count()
+    )
+    buckets, deleted = delete_keys_bucketed(
+        spark, TABLE, "video_id", erase_keys, ["minute"]
+    )
+    assert deleted == victims
+    n_null_after = (
+        spark.table(TABLE).filter(F.col("video_id").isNull()).count()
+    )
+    assert n_null_after == n_null_before  # NULL rows survived the rewrite
+    assert spark.table(TABLE).filter(F.col("video_id").isin(erase_keys)).count() == 0
+
+
+def test_maintenance_rejects_foreign_data_file(spark, lifecycle_table):
+    """ADVICE r8 (low): a data file whose name carries no bucket id must
+    abort maintenance loudly instead of being linked through as an
+    'extra' (incomplete erasure with no signal)."""
+    loc = table_location(spark, TABLE)
+    src = next(
+        f for f in os.listdir(loc)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.link(os.path.join(loc, src), os.path.join(loc, "stray.parquet"))
+    try:
+        with pytest.raises(RuntimeError, match="non-bucketed data file"):
+            compact_bucketed_table(
+                spark, TABLE, "video_id", ["minute"],
+                ["video_id", "minute"], ["ver"], N_BUCKETS,
+            )
+        spark.sql(f"REFRESH TABLE {TABLE}")
+        with pytest.raises(RuntimeError, match="non-bucket"):
+            delete_keys_bucketed(spark, TABLE, "video_id", [0], ["minute"])
+    finally:
+        os.remove(os.path.join(loc, "stray.parquet"))

@@ -55,3 +55,23 @@ def test_mmr_diversifies_near_duplicates(spark, tmp_path):
         assert r["mmr_score"] == r["rel"] - r["max_sim"]
     assert by_round[1]["max_sim"] == 0
     assert first not in picked[1:]
+
+
+def test_mmr_pool_smaller_than_k(spark, tmp_path):
+    """ADVICE r8: with fewer candidates than MMR_K the greedy loop must
+    terminate cleanly (no IndexError, no leaked persisted frames) and
+    return one row per available candidate."""
+    rows = [
+        (0, _vec((0, 1.0)), 0),  # query
+        (1, _vec((0, 0.9), (1, 0.2)), 0),
+        (2, _vec((2, 1.0)), 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+    out = load_all()["mmr_diversified_topk"][0](spark, str(tmp_path)).collect()
+    assert len(out) == 2  # only 2 candidates exist; loop stopped early
+    assert [r["round"] for r in sorted(out, key=lambda r: r["round"])] == [1, 2]

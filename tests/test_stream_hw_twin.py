@@ -83,14 +83,18 @@ def test_stream_holt_winters_equals_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    final = {
-        r.event_type: r.asDict()
-        for r in spark.sql("SELECT * FROM hw_twin")
-        .withColumn("_rn", F.monotonically_increasing_id())
-        .orderBy("_rn")
-        .drop("_rn")
-        .collect()
-    }
+    # Update-mode sink holds every per-key update; the FINAL row per key
+    # is the one with the most hours absorbed (n_hours is monotone per
+    # key), NOT the last row in sink order — monotonically_increasing_id
+    # is partition-prefixed, not insertion-ordered (ADVICE r8).
+    final = {}
+    for r in spark.sql("SELECT * FROM hw_twin").collect():
+        d = r.asDict()
+        if (
+            r.event_type not in final
+            or d["n_hours"] > final[r.event_type]["n_hours"]
+        ):
+            final[r.event_type] = d
     for etype in series:
         b, s = batch[etype], final[etype]
         assert s == b, (etype, s, b)

@@ -18,9 +18,12 @@ def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     with open(old_path) as f:
-        old = json.load(f)["queries"]
+        old_doc = json.load(f)
     with open(new_path) as f:
-        new = json.load(f)["queries"]
+        new_doc = json.load(f)
+    old, new = old_doc["queries"], new_doc["queries"]
+    old_spread = old_doc.get("query_spread_max_minus_min", {})
+    new_spread = new_doc.get("query_spread_max_minus_min", {})
     rows = sorted(old.items(), key=lambda kv: -float(kv[1]))[:top_n]
     print(f"| query | {old_path.split('/')[-1]} median | "
           f"{new_path.split('/')[-1]} median | ratio |")
@@ -37,6 +40,31 @@ def main() -> None:
     added = sorted(set(new) - set(old))
     if added:
         print(f"\nnew queries ({len(added)}): " + ", ".join(added))
+
+    # Real movers (VERDICT r8 #2c): a delta smaller than either record's
+    # own trial spread for that query is host noise, not a plan change —
+    # suppress it. Flag only |new-old| > max(spreads, 0.25s) AND ratio
+    # outside [0.67, 1.5].
+    movers = []
+    for q in sorted(set(old) & set(new)):
+        m_old, m_new = float(old[q]), float(new[q])
+        gate = max(
+            float(old_spread.get(q, 0.0)),
+            float(new_spread.get(q, 0.0)),
+            0.25,
+        )
+        if abs(m_new - m_old) <= gate or m_old == 0:
+            continue
+        ratio = m_new / m_old
+        if ratio > 1.5 or ratio < 1 / 1.5:
+            movers.append((ratio, q, m_old, m_new, gate))
+    noisy = old_doc.get("host_noisy_at_start") or new_doc.get(
+        "host_noisy_at_start"
+    )
+    print(f"\nreal movers (|Δ| > spread gate, ratio ±1.5x): {len(movers)}"
+          + (" [CAUTION: a record is stamped host-noisy]" if noisy else ""))
+    for ratio, q, m_old, m_new, gate in sorted(movers, key=lambda t: -t[0]):
+        print(f"  {q}: {m_old} -> {m_new} ({ratio:.2f}x, gate {gate:.2f}s)")
 
 
 if __name__ == "__main__":
