@@ -9,11 +9,14 @@ boundary comparisons (>= -> >), dropped filters, swapped sort direction /
 tie-breaks — and requires EVERY query to have at least one mutant that the
 unchanged DuckDB oracle FAILS.
 
-Mechanics: the registered builder's module source is AST-mutated (one site
-at a time), re-exec'd in-process (REGISTRY snapshot/restored around the
-exec), and the mutated builder's result is hash-compared against the
-original oracle with the driver's own comparator (tools.check_oracle
-.frame_hash). A mutant that still PASSES is an *equivalent mutant* (the
+Mechanics: the registered builder AND every package function it calls
+(bare-name or module-attribute calls, followed transitively — this reaches
+the operator layer where most semantics live) are mutation targets. One
+site at a time, the target function's source is AST-mutated, compiled
+against a copy of its module globals (decorators stripped), monkeypatched
+in at the call-resolution module, and the query result is hash-compared
+against the original oracle with the driver's own comparator
+(tools.check_oracle.frame_hash). A mutant that still PASSES is an *equivalent mutant* (the
 mutation didn't change the output at this SF) — we try the next site, up
 to --max-sites. A query where NO tried mutant fails is reported as
 INSENSITIVE and exits non-zero: either the oracle can't see that family of
@@ -97,26 +100,59 @@ _CMP_SWAP = {
     ast.LtE: ast.Lt,
     ast.Lt: ast.LtE,
 }
+import re as _re
+
+_DUR_RE = _re.compile(r"^(\d+) (second|minute|hour|day|week)s?$")
+_UNIT_SWAP = {
+    "second": "minute",
+    "minute": "hour",
+    "hour": "day",
+    "day": "hour",
+    "week": "day",
+    "month": "week",
+    "quarter": "month",
+    "year": "month",
+}
+_NUMSTR_RE = _re.compile(r"0\.\d+")
+_UNWRAP = {"lower", "upper", "trim", "ltrim", "rtrim", "round", "abs",
+           "floor", "ceil"}
+_AGG_SWAP = {"min": "max", "max": "min", "sum": "avg", "first": "last",
+             "last": "first"}
+_HASH_SWAP = {"md5": "sha1", "sha1": "md5", "xxhash64": "crc32",
+              "crc32": "xxhash64"}
+
+
+def _bump_dur(s: str) -> str:
+    m = _DUR_RE.match(s)
+    return s.replace(m.group(1), str(int(m.group(1)) + 1), 1)
+
+
+def _bump_numstr(s: str) -> str:
+    m = _NUMSTR_RE.search(s)
+    v = float(m.group())
+    return s[: m.start()] + f"{v + 0.05:.2f}" + s[m.end():]
 
 
 def _enumerate_sites(fn_node: ast.FunctionDef) -> list[tuple[str, int, str]]:
     """All (kind, occurrence_index, description) mutation sites in the
     function, in a deliberate order: semantic mutations first (boundary,
     sort, filter), constant bumps last (more likely equivalent)."""
-    cmps: list[str] = []
-    sorts: list[str] = []
-    filts: list[str] = []
-    ints: list[str] = []
+    buckets: dict[str, list[str]] = {
+        k: []
+        for k in ("cmp", "sort", "filter", "isin", "dur", "unit",
+                  "jsonpath", "numstr", "unwrap", "agg", "hashfn", "float",
+                  "int")
+    }
     for node in ast.walk(fn_node):
         if isinstance(node, ast.Compare) and len(node.ops) == 1:
             op = node.ops[0]
             if type(op) in _CMP_SWAP:
-                cmps.append(
+                buckets["cmp"].append(
                     f"cmp {type(op).__name__}->"
                     f"{_CMP_SWAP[type(op)].__name__} @L{node.lineno}"
                 )
         if isinstance(node, ast.Attribute) and node.attr in _SORT_SWAP:
-            sorts.append(
+            buckets["sort"].append(
                 f"sort {node.attr}->{_SORT_SWAP[node.attr]} @L{node.lineno}"
             )
         if (
@@ -124,21 +160,81 @@ def _enumerate_sites(fn_node: ast.FunctionDef) -> list[tuple[str, int, str]]:
             and isinstance(node.func, ast.Attribute)
             and node.func.attr in ("filter", "where")
         ):
-            filts.append(f"drop .{node.func.attr}(...) @L{node.lineno}")
+            buckets["filter"].append(
+                f"drop .{node.func.attr}(...) @L{node.lineno}"
+            )
         if (
-            isinstance(node, ast.Constant)
-            and type(node.value) is int
-            and not isinstance(node.value, bool)
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "isin"
+            and len(node.args) >= 2
         ):
-            ints.append(f"int {node.value}->{node.value + 1} @L{node.lineno}")
+            buckets["isin"].append(
+                f"isin drop last of {len(node.args)} members @L{node.lineno}"
+            )
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr in _UNWRAP
+            and node.args
+        ):
+            buckets["unwrap"].append(
+                f"unwrap F.{node.func.attr}(...) @L{node.lineno}"
+            )
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr in _AGG_SWAP
+        ):
+            buckets["agg"].append(
+                f"agg F.{node.func.attr}->F.{_AGG_SWAP[node.func.attr]} "
+                f"@L{node.lineno}"
+            )
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr in _HASH_SWAP
+        ):
+            buckets["hashfn"].append(
+                f"hashfn F.{node.func.attr}->"
+                f"F.{_HASH_SWAP[node.func.attr]} @L{node.lineno}"
+            )
+        if isinstance(node, ast.Constant):
+            v = node.value
+            if type(v) is str:
+                if v.startswith("$."):
+                    buckets["jsonpath"].append(
+                        f"jsonpath {v!r}->{v + '_x'!r} @L{node.lineno}"
+                    )
+                elif _DUR_RE.match(v):
+                    buckets["dur"].append(
+                        f"dur {v!r}->{_bump_dur(v)!r} @L{node.lineno}"
+                    )
+                elif v in _UNIT_SWAP:
+                    buckets["unit"].append(
+                        f"unit {v!r}->{_UNIT_SWAP[v]!r} @L{node.lineno}"
+                    )
+                elif _NUMSTR_RE.search(v) and len(v) < 80:
+                    buckets["numstr"].append(
+                        f"numstr {v!r}->{_bump_numstr(v)!r} @L{node.lineno}"
+                    )
+            elif type(v) is float:
+                buckets["float"].append(
+                    f"float {v}->{v + 0.05} @L{node.lineno}"
+                )
+            elif type(v) is int and not isinstance(v, bool):
+                buckets["int"].append(f"int {v}->{v + 1} @L{node.lineno}")
     sites: list[tuple[str, int, str]] = []
-    for kind, descs in (
-        ("cmp", cmps),
-        ("sort", sorts),
-        ("filter", filts),
-        ("int", ints),
-    ):
-        sites.extend((kind, i, d) for i, d in enumerate(descs))
+    for kind in ("cmp", "sort", "filter", "isin", "dur", "unit",
+                 "jsonpath", "numstr", "unwrap", "agg", "hashfn",
+                 "float", "int"):
+        sites.extend((kind, i, d) for i, d in enumerate(buckets[kind]))
     return sites
 
 
@@ -183,16 +279,79 @@ class _Mutator(ast.NodeTransformer):
             and self._take()
         ):
             return node.func.value  # the receiver: .filter() vanishes
+        if (
+            self.kind == "isin"
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "isin"
+            and len(node.args) >= 2
+            and self._take()
+        ):
+            node.args = node.args[:-1]  # one enum member forgotten
+        if (
+            self.kind == "unwrap"
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr in _UNWRAP
+            and node.args
+            and self._take()
+        ):
+            return node.args[0]  # normalization wrapper vanishes
+        if (
+            self.kind == "agg"
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr in _AGG_SWAP
+            and self._take()
+        ):
+            node.func.attr = _AGG_SWAP[node.func.attr]
+        if (
+            self.kind == "hashfn"
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr in _HASH_SWAP
+            and self._take()
+        ):
+            node.func.attr = _HASH_SWAP[node.func.attr]
         return node
 
     def visit_Constant(self, node: ast.Constant):
+        v = node.value
         if (
             self.kind == "int"
-            and type(node.value) is int
-            and not isinstance(node.value, bool)
+            and type(v) is int
+            and not isinstance(v, bool)
             and self._take()
         ):
-            return ast.copy_location(ast.Constant(node.value + 1), node)
+            return ast.copy_location(ast.Constant(v + 1), node)
+        if (
+            self.kind == "float"
+            and type(v) is float
+            and self._take()
+        ):
+            return ast.copy_location(ast.Constant(v + 0.05), node)
+        if type(v) is str:
+            if (
+                self.kind == "jsonpath"
+                and v.startswith("$.")
+                and self._take()
+            ):
+                return ast.copy_location(ast.Constant(v + "_x"), node)
+            if self.kind == "dur" and _DUR_RE.match(v) and self._take():
+                return ast.copy_location(ast.Constant(_bump_dur(v)), node)
+            if self.kind == "unit" and v in _UNIT_SWAP and self._take():
+                return ast.copy_location(ast.Constant(_UNIT_SWAP[v]), node)
+            if (
+                self.kind == "numstr"
+                and not _DUR_RE.match(v)
+                and v not in _UNIT_SWAP
+                and _NUMSTR_RE.search(v)
+                and len(v) < 80
+                and self._take()
+            ):
+                return ast.copy_location(ast.Constant(_bump_numstr(v)), node)
         return node
 
 
@@ -217,31 +376,55 @@ def _mutation_targets(name: str) -> list[tuple[object, object]]:
     from shortvideohybridanalyticslakehouse_spark.plans.registry import REGISTRY
 
     fn, _ = REGISTRY[name]
-    mod = sys.modules[fn.__module__]
-    targets = [(mod, fn.__name__, fn)]
-    seen = {fn.__name__}
-    frontier = [fn]
+
+    def ok(cand) -> bool:
+        return (
+            inspect.isfunction(cand)
+            and cand.__module__.startswith(_PKG_PREFIX)
+            and cand.__name__ not in ("register", "finalize_bounded")
+        )
+
+    targets: list[tuple] = []
+    seen: set[tuple] = set()
+    frontier: list = []
+
+    def add(mod, nm, f):
+        key = (id(mod), nm)
+        if key in seen:
+            return
+        seen.add(key)
+        targets.append((mod, nm, f))
+        frontier.append(f)
+
+    add(sys.modules[fn.__module__], fn.__name__, fn)
     while frontier:
         cur = frontier.pop(0)
         try:
             node = _fn_ast(cur)
         except (OSError, TypeError):
             continue
+        # names at a call site resolve in the CALLING function's defining
+        # module — that module (or, for attribute calls, the module object
+        # the attribute lives on) is where the monkeypatch must land
+        g = sys.modules[cur.__module__].__dict__
         for sub in ast.walk(node):
-            if not (isinstance(sub, ast.Call) and isinstance(sub.func, ast.Name)):
+            if not isinstance(sub, ast.Call):
                 continue
-            nm = sub.func.id
-            if nm in seen:
-                continue
-            seen.add(nm)
-            cand = mod.__dict__.get(nm)
-            if (
-                inspect.isfunction(cand)
-                and cand.__module__.startswith(_PKG_PREFIX)
-                and nm not in ("register", "finalize_bounded")
+            f = sub.func
+            if isinstance(f, ast.Name):
+                cand = g.get(f.id)
+                if ok(cand):
+                    add(sys.modules[cur.__module__], f.id, cand)
+            elif isinstance(f, ast.Attribute) and isinstance(
+                f.value, ast.Name
             ):
-                targets.append((mod, nm, cand))
-                frontier.append(cand)
+                base = g.get(f.value.id)
+                if inspect.ismodule(base) and base.__name__.startswith(
+                    _PKG_PREFIX
+                ):
+                    cand = getattr(base, f.attr, None)
+                    if ok(cand):
+                        add(base, f.attr, cand)
     return targets
 
 
@@ -288,7 +471,7 @@ def _run_with_mutant(
 
 def main() -> int:
     argv = sys.argv[1:]
-    max_sites = 12
+    max_sites = 16
     out_path = os.path.join(_REPO, "tools", "ORACLE_MUTATION.json")
     if "--max-sites" in argv:
         i = argv.index("--max-sites")
