@@ -166,9 +166,23 @@ def run_interleaving(spark, table: str, seed: int, n_ops: int) -> dict:
             if op == "erase" and not live_keys:
                 op = "append"  # nothing to erase; keep the step count
             if op == "append":
-                # appends don't go through the swap; never crash-injected
-                pool = [v for v in base_vids if v not in erased] or [99]
-                vids = sorted(rng.sample(pool, min(3, len(pool))))
+                # appends don't go through the swap; never crash-injected.
+                # _rows generates CONSECUTIVE keys from min(vids), so the
+                # append block must be a contiguous run that avoids every
+                # erased key (else the harness would "resurrect" a key the
+                # model considers gone — a bookkeeping artifact, not an
+                # engine bug); fall back to fresh key space when no clean
+                # block remains
+                blocks = [
+                    s
+                    for s in range(0, len(base_vids) - 2)
+                    if not any(s + i in erased for i in range(3))
+                ]
+                if blocks:
+                    s = rng.choice(blocks)
+                else:
+                    s = 100 + step * 3
+                vids = range(s, s + 3)
                 lo = rng.randrange(0, 4)
                 ddl.append_bucketed_sorted(
                     _rows(spark, vids, range(lo, lo + 3), next_ver),

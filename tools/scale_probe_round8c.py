@@ -56,8 +56,19 @@ def main() -> int:
 
         t0 = time.time()
         dt = doc_term_freqs(docs)
-        scored = dsir_scores(dt, vocab_from_dt(dt))
+        vocab = vocab_from_dt(dt)
+        scored = dsir_scores(dt, vocab)
         n_scored = scored.count()
+        # VERDICT r8 #4: the vocab frame is the registry's largest
+        # AQE-broadcast build side (21 MB at sf0.1) and GROWS with the
+        # corpus — record its size and whether AQE demotes the dt-join
+        # broadcast at this factor (post-AQE executed plan)
+        from tools.shuffle_gate import measure
+        from tools.scale_probe_aqe import _join_counts
+
+        n_vocab = vocab.count()
+        dsir_mets = measure(scored)
+        dsir_joins = _join_counts(scored)
         mean_micro = scored.agg(
             F.expr("CAST(sum(dsir_micro) DIV count(1) AS BIGINT)")
         ).collect()[0][0]
@@ -75,6 +86,14 @@ def main() -> int:
             "dsir_us_per_doc": round(dsir_wall / n_docs * 1e6, 1),
             "dsir_rows": n_scored,
             "dsir_mean_micro": int(mean_micro),
+            "vocab_terms": n_vocab,
+            "dsir_max_broadcast_mb": round(
+                dsir_mets["max_broadcast_bytes"] / 1e6, 1
+            ),
+            "dsir_shuffle_mb": round(
+                dsir_mets["shuffle_bytes_written"] / 1e6, 1
+            ),
+            "dsir_joins": dsir_joins,
             "textrank_wall_s": round(tr_wall, 2),
             "textrank_us_per_doc": round(tr_wall / n_docs * 1e6, 1),
             "textrank_top_terms": [r.term for r in top[:5]],
