@@ -1,0 +1,566 @@
+"""Extension queries, round 129: five new analytics lanes.
+
+1. knn_label_noise_audit — per-label count of embeddings whose 5-NN
+   majority label disagrees with their own label (Confident-Learning-
+   style training-data QA, brute-force integer-dot kNN; the IVF lane is
+   the scale path, this is the exact auditor).
+2. kcenter_coreset_greedy — Gonzalez greedy k-center over the integer-
+   quantized embeddings (diverse coreset selection for data curation);
+   greedy replayed round-for-round by the oracle.
+3. bh_fdr_segment_lift — Benjamini-Hochberg FDR over 28 (dow x hour-
+   bucket) purchase-rate lifts: two-sided normal p-values through the
+   shared logistic CDF approximation, micro-floored before the BH rank
+   comparison so both engines make identical reject decisions.
+4. hits_hubs_authorities — 3 rounds of HITS over the customer->part
+   bipartite purchase graph, ALL-INTEGER (max-normalized micro scores,
+   no doubles anywhere), top-10 per role.
+5. readability_by_source — Flesch-Kincaid grade per source from exact
+   token/sentence/vowel-group counts, one double formula floored to
+   micro at the end.
+
+Determinism ladder as ext92/ext115/ext127: exact integer aggregation
+wherever possible; where a transcendental is unavoidable (exp in the
+CDF) it is evaluated ONCE on identically-derived doubles and floored to
+micro before any comparison.
+
+Plan shapes at 100 TB: kNN/k-center are O(n^2) over the EMBEDDING table
+only (the bounded audit/coreset inputs; LSH/IVF lanes scale the general
+case); BH is a 28-row post-aggregate; HITS is K bounded join-aggregates
+over the distinct edge list; readability is one scan + 4-row rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.plans.queries_ext115 import (
+    _int_dot,
+    _int_vec,
+)
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
+from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+
+_QUANT = "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+_KNN_K = 5
+_KC_K = 6
+_HITS_ROUNDS = 3
+_HITS_TOP = 10
+_BH_Q_MICRO = 100_000  # q = 0.10 in micro units
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+def _duck_sqdist(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. kNN label-noise audit
+# --------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> {_QUANT}) AS v
+  FROM embeddings
+), sims AS (
+  SELECT a.vec_id AS ida, a.label AS la, b.vec_id AS idb,
+         b.label AS lb, {_duck_dot("a.v", "b.v")} AS sim
+  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT ida, la, lb
+  FROM (
+    SELECT ida, la, lb,
+           row_number() OVER (PARTITION BY ida
+                              ORDER BY sim DESC, idb ASC) AS rn
+    FROM sims
+  ) WHERE rn <= {_KNN_K}
+), votes AS (
+  SELECT ida, la, lb, CAST(count(*) AS BIGINT) AS c FROM knn
+  GROUP BY 1, 2, 3
+), maj AS (
+  SELECT ida, la, lb AS maj_label
+  FROM (
+    SELECT ida, la, lb,
+           row_number() OVER (PARTITION BY ida
+                              ORDER BY c DESC, lb ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT la AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN maj_label <> la THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM maj GROUP BY 1
+"""
+
+
+@register("knn_label_noise_audit", _KNN_ORACLE)
+def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count of vectors whose 5-NN majority label disagrees
+    with their own (integer-dot similarity, vec_id tie-breaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        _int_vec("embedding").alias("v"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+    )
+    sims = a.join(F.broadcast(b), F.col("ida") != F.col("idb")).select(
+        "ida", "la", "idb", "lb", _int_dot(F.col("va"), F.col("vb")).alias("sim")
+    )
+    w = Window.partitionBy("ida").orderBy(
+        F.col("sim").desc(), F.col("idb").asc()
+    )
+    knn = sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = knn.groupBy("ida", "la", "lb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.partitionBy("ida").orderBy(
+        F.col("c").desc(), F.col("lb").asc()
+    )
+    maj = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("ida", "la", F.col("lb").alias("maj_label"))
+    )
+    return maj.groupBy(F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("maj_label") != F.col("la"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Gonzalez greedy k-center coreset
+# --------------------------------------------------------------------------
+
+
+def _kcenter_oracle() -> str:
+    rounds = [
+        "s1 AS (SELECT vec_id, CAST(0 AS BIGINT) AS d"
+        " FROM base ORDER BY vec_id ASC LIMIT 1)"
+    ]
+    union = [
+        "SELECT CAST(1 AS BIGINT) AS round, vec_id,"
+        " CAST(0 AS BIGINT) AS dist_sq FROM s1"
+    ]
+    for r in range(2, _KC_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        rounds.append(
+            f"s{r} AS (\n"
+            f"  SELECT p.ida AS vec_id, min(p.d2) AS d\n"
+            f"  FROM dists p\n"
+            f"  WHERE p.idb IN ({prev}) AND p.ida NOT IN ({prev})\n"
+            f"  GROUP BY p.ida\n"
+            f"  ORDER BY min(p.d2) DESC, p.ida ASC LIMIT 1)"
+        )
+        union.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, vec_id,"
+            f" d AS dist_sq FROM s{r}"
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> {_QUANT}) AS v
+  FROM embeddings
+), dists AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         {_duck_sqdist("a.v", "b.v")} AS d2
+  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+), {", ".join(rounds)}
+{" UNION ALL ".join(union)}
+"""
+
+
+@register("kcenter_coreset_greedy", _kcenter_oracle())
+def q_kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez greedy k-center: seed = min vec_id; each round adds the
+    point with the LARGEST squared distance to its nearest selected
+    center (tie: smaller vec_id). Returns (round, vec_id, dist_sq)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _int_vec("embedding").alias("v"))
+    a = base.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dists = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select("ida", "idb", sqd.alias("d2"))
+        .persist()
+    )
+    seed = base.orderBy(F.col("vec_id").asc()).limit(1).collect()
+    out_rows: list[tuple[int, int, int]] = []
+    selected: list[int] = []
+    try:
+        if seed:
+            selected.append(seed[0].vec_id)
+            out_rows.append((1, seed[0].vec_id, 0))
+        for rnd in range(2, _KC_K + 1):
+            rows = (
+                dists.filter(
+                    F.col("idb").isin(selected)
+                    & ~F.col("ida").isin(selected)
+                )
+                .groupBy("ida")
+                .agg(F.min("d2").alias("d"))
+                .orderBy(F.col("d").desc(), F.col("ida").asc())
+                .limit(1)
+                .collect()
+            )
+            if not rows:
+                break
+            selected.append(rows[0].ida)
+            out_rows.append((rnd, rows[0].ida, rows[0].d))
+    except Exception:
+        dists.unpersist()
+        raise
+    result = spark.createDataFrame(
+        out_rows, "round bigint, vec_id bigint, dist_sq bigint"
+    )
+    return finalize_bounded(result, dists)
+
+
+# --------------------------------------------------------------------------
+# 3. Benjamini-Hochberg FDR over segment purchase-rate lifts
+# --------------------------------------------------------------------------
+
+_BH_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(strftime(ts, '%w') AS BIGINT) + 1 AS dow,
+         CAST(extract(hour FROM ts) // 6 AS BIGINT) AS hour_bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), seg AS (
+  SELECT dow, hour_bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(conv) AS BIGINT) AS k
+  FROM ev GROUP BY 1, 2
+), g_tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS big_n, CAST(sum(k) AS BIGINT) AS big_k
+  FROM seg
+), scored AS (
+  SELECT s.dow, s.hour_bucket, s.n, s.k,
+         (CAST(s.k AS DOUBLE) / s.n - CAST(g.big_k AS DOUBLE) / g.big_n)
+           / sqrt((CAST(g.big_k AS DOUBLE) / g.big_n)
+                  * (1.0 - CAST(g.big_k AS DOUBLE) / g.big_n) / s.n)
+           AS z
+  FROM seg s CROSS JOIN g_tot g
+), pvals AS (
+  SELECT dow, hour_bucket, n, k,
+         CAST(floor(z * 1000000.0) AS BIGINT) AS z_micro,
+         CAST(floor(2000000.0 / (1.0 + exp(1.702 * abs(z)))) AS BIGINT)
+           AS p_micro
+  FROM scored
+), ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_micro ASC, dow ASC,
+                                 hour_bucket ASC) AS BIGINT) AS p_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pvals
+), flagged AS (
+  SELECT *,
+         CASE WHEN p_micro <= p_rank * {_BH_Q_MICRO} // m
+              THEN p_rank ELSE 0 END AS cand
+  FROM ranked
+)
+SELECT dow, hour_bucket, n, k, z_micro, p_micro, p_rank,
+       p_rank <= max(cand) OVER () AS rejected
+FROM flagged
+"""
+
+
+@register("bh_fdr_segment_lift", _BH_ORACLE)
+def q_bh_fdr_segment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH(q=0.10) over per-(dow, hour-bucket) purchase-rate z-tests.
+    p-values via the logistic CDF approximation Phi(x) ~
+    1/(1+exp(-1.702x)), micro-floored before the BH rank compare."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        (F.hour("ts") / 6).cast("bigint").alias("hour_bucket"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    seg = ev.groupBy("dow", "hour_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    glob = seg.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum("k").cast("bigint").alias("big_k"),
+    )
+    pg = F.col("big_k").cast("double") / F.col("big_n")
+    z = (F.col("k").cast("double") / F.col("n") - pg) / F.sqrt(
+        pg * (F.lit(1.0) - pg) / F.col("n")
+    )
+    pvals = seg.crossJoin(F.broadcast(glob)).select(
+        "dow",
+        "hour_bucket",
+        "n",
+        "k",
+        F.floor(z * F.lit(1000000.0)).cast("bigint").alias("z_micro"),
+        F.floor(
+            F.lit(2000000.0)
+            / (F.lit(1.0) + F.exp(F.lit(1.702) * F.abs(z)))
+        )
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    wr = Window.orderBy(
+        F.col("p_micro").asc(), F.col("dow").asc(), F.col("hour_bucket").asc()
+    )
+    wall = Window.partitionBy()
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(wr).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+    )
+    flagged = ranked.withColumn(
+        "cand",
+        F.when(
+            F.col("p_micro")
+            <= F.expr(f"p_rank * {_BH_Q_MICRO} DIV m"),
+            F.col("p_rank"),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.select(
+        "dow",
+        "hour_bucket",
+        "n",
+        "k",
+        "z_micro",
+        "p_micro",
+        "p_rank",
+        (F.col("p_rank") <= F.max("cand").over(wall)).alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. HITS hubs/authorities (all-integer, 3 rounds)
+# --------------------------------------------------------------------------
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """e AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+        "a0 AS (SELECT part, CAST(1000000 AS BIGINT) AS s"
+        " FROM (SELECT DISTINCT part FROM e))",
+    ]
+    prev_a = "a0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        ctes.append(
+            f"h{r}raw AS (SELECT e.cust, CAST(sum(s) AS BIGINT) AS s"
+            f" FROM e JOIN {prev_a} ON {prev_a}.part = e.part"
+            f" GROUP BY e.cust)"
+        )
+        ctes.append(
+            f"h{r} AS (SELECT cust, CAST(s * 1000000 //"
+            f" (SELECT max(s) FROM h{r}raw) AS BIGINT) AS s FROM h{r}raw)"
+        )
+        ctes.append(
+            f"a{r}raw AS (SELECT e.part, CAST(sum(s) AS BIGINT) AS s"
+            f" FROM e JOIN h{r} ON h{r}.cust = e.cust GROUP BY e.part)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT part, CAST(s * 1000000 //"
+            f" (SELECT max(s) FROM a{r}raw) AS BIGINT) AS s FROM a{r}raw)"
+        )
+        prev_a = f"a{r}"
+    last = _HITS_ROUNDS
+    return f"""
+WITH {", ".join(ctes)},
+tops AS (
+  SELECT 'authority' AS role, part AS node_key, s AS score_micro,
+         CAST(row_number() OVER (ORDER BY s DESC, part ASC) AS BIGINT)
+           AS rank
+  FROM a{last} QUALIFY rank <= {_HITS_TOP}
+  UNION ALL
+  SELECT 'hub' AS role, cust AS node_key, s AS score_micro,
+         CAST(row_number() OVER (ORDER BY s DESC, cust ASC) AS BIGINT)
+           AS rank
+  FROM h{last} QUALIFY rank <= {_HITS_TOP}
+)
+SELECT role, node_key, score_micro, rank FROM tops
+"""
+
+
+@register("hits_hubs_authorities", _hits_oracle())
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 HITS rounds over the customer->part purchase graph, max-
+    normalized to micro each half-round — all-integer, no doubles."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("cust")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part")
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("cust", "part")
+        .distinct()
+        .persist()
+    )
+    a = e.select("part").distinct().select(
+        "part", F.lit(1_000_000).cast("bigint").alias("s")
+    )
+    h = None
+    for _ in range(_HITS_ROUNDS):
+        hraw = (
+            e.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum("s").cast("bigint").alias("s"))
+        )
+        hmax = hraw.agg(F.max("s").alias("mx"))
+        # localCheckpoint truncates the per-round lineage: without it the
+        # K-round chain re-derives every earlier round per action (the
+        # ext122 bounded-iteration discipline); frames are O(nodes), tiny
+        h = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select(
+                "cust",
+                F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        araw = (
+            e.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum("s").cast("bigint").alias("s"))
+        )
+        amax = araw.agg(F.max("s").alias("mx"))
+        a = (
+            araw.crossJoin(F.broadcast(amax))
+            .select(
+                "part",
+                F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wa = Window.orderBy(F.col("s").desc(), F.col("part").asc())
+    wh = Window.orderBy(F.col("s").desc(), F.col("cust").asc())
+    tops = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("part").alias("node_key"),
+            F.col("s").alias("score_micro"),
+            F.row_number().over(wa).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= _HITS_TOP)
+        .unionByName(
+            h.select(
+                F.lit("hub").alias("role"),
+                F.col("cust").alias("node_key"),
+                F.col("s").alias("score_micro"),
+                F.row_number().over(wh).cast("bigint").alias("rank"),
+            ).filter(F.col("rank") <= _HITS_TOP)
+        )
+    )
+    return finalize_bounded(tops, e)
+
+
+# --------------------------------------------------------------------------
+# 5. Flesch-Kincaid readability per source
+# --------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS syllables
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS words,
+         CAST(sum(sentences) AS BIGINT) AS sentences,
+         CAST(sum(syllables) AS BIGINT) AS syllables
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, words, sentences, syllables,
+       CAST(floor((0.39 * CAST(words AS DOUBLE) / sentences
+                   + 11.8 * CAST(syllables AS DOUBLE) / words
+                   - 15.59) * 1000000.0) AS BIGINT) AS fk_grade_micro
+FROM agg
+"""
+
+
+@register("readability_by_source", _READ_ORACLE)
+def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade per source: exact token / sentence /
+    vowel-group counts, one double formula floored to micro."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("words"),
+        F.greatest(
+            F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("sentences"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')")
+        .cast("bigint")
+        .alias("syllables"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+        F.sum("syllables").cast("bigint").alias("syllables"),
+    )
+    fk = (
+        F.lit(0.39) * F.col("words").cast("double") / F.col("sentences")
+        + F.lit(11.8) * F.col("syllables").cast("double") / F.col("words")
+        - F.lit(15.59)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.floor(fk * F.lit(1000000.0)).cast("bigint").alias(
+            "fk_grade_micro"
+        ),
+    )

@@ -170,6 +170,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext126,
         queries_ext127,
         queries_ext128,
+        queries_ext129,
     )
 
     return REGISTRY
