@@ -81,9 +81,15 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("bsize")
     )
     # enforce the basket-size contract: bounds the in-order self-join to
-    # C(_MAX_BASKET, 2) pairs per order no matter how adversarial a cart
+    # C(_MAX_BASKET, 2) pairs per order no matter how adversarial a cart.
+    # The filter side is O(orders) — it grows with the data (the 10x AQE
+    # probe caught it broadcast at 134 MB) — so the join is pinned to
+    # shuffle-hash; both sides cluster on l_orderkey, and the downstream
+    # self-join reuses that exchange.
     baskets = raw.join(
-        sized.filter(F.col("bsize") <= _MAX_BASKET).select("l_orderkey"),
+        sized.filter(F.col("bsize") <= _MAX_BASKET)
+        .select("l_orderkey")
+        .hint("shuffle_hash"),
         "l_orderkey",
     )
     n_orders = baskets.agg(
@@ -104,17 +110,23 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
+    # item_supp is O(|parts|) — it GROWS with the catalog. The 10x AQE
+    # probe (tools/scale_probe_aqe.py, round 9) caught Catalyst still
+    # broadcasting it at 134 MB, so these two joins are pinned to
+    # shuffle-hash: both sides are already clustered on the part key
+    # (pairs' groupBy provides the exchange), and a hash join avoids the
+    # SMJ sort. Per-executor memory stays O(partition), not O(parts).
     scored = (
         pairs.join(
             item_supp.select(
                 F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
-            ),
+            ).hint("shuffle_hash"),
             "part_a",
         )
         .join(
             item_supp.select(
                 F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
-            ),
+            ).hint("shuffle_hash"),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))

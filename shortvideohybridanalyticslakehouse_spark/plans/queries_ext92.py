@@ -103,14 +103,25 @@ def q_bigram_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(pairs).alias("p")
     ).select("doc_id", "source", "p.pos", "p.v", "p.w")
     bigc = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    # bigc/uni are O(vocab) — they GROW with the corpus. The 10x AQE
+    # probe (tools/scale_probe_aqe.py, round 9) caught Catalyst
+    # broadcasting the bigram-count frame at 419 MB on a vocab-salted
+    # clone, so the three vocabulary joins are pinned to shuffle-hash:
+    # per-executor memory stays O(partition) no matter how the
+    # vocabulary scales, and the probe side is already shuffled on the
+    # same keys by the groupBys that produced the counts.
     scored = (
-        big.join(bigc, ["v", "w"])
+        big.join(bigc.hint("shuffle_hash"), ["v", "w"])
         .join(
-            uni.select(F.col("term").alias("v"), F.col("c").alias("c_v")),
+            uni.select(
+                F.col("term").alias("v"), F.col("c").alias("c_v")
+            ).hint("shuffle_hash"),
             "v",
         )
         .join(
-            uni.select(F.col("term").alias("w"), F.col("c").alias("c_w")),
+            uni.select(
+                F.col("term").alias("w"), F.col("c").alias("c_w")
+            ).hint("shuffle_hash"),
             "w",
         )
         .crossJoin(F.broadcast(n_tok))

@@ -171,6 +171,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext127,
         queries_ext128,
         queries_ext129,
+        queries_ext130,
     )
 
     return REGISTRY
