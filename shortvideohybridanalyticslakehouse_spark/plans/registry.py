@@ -172,6 +172,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext128,
         queries_ext129,
         queries_ext130,
+        queries_ext131,
     )
 
     return REGISTRY
