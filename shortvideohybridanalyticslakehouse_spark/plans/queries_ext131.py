@@ -1,12 +1,16 @@
 """Extension queries, round 131: three more analytics lanes.
 
-1. brier_decomposition — Murphy decomposition of the Brier score
-   (reliability - resolution + uncertainty) for the ext101 hash-contract
-   propensity score vs realized purchase. EXACT INTEGERS throughout: the
-   milli-score differences square to micro units natively, so the total
-   Brier is one integer DIV; per-bin reliability/resolution terms are
-   integer-DIV-floored then exactly summed (DECIMAL(38,0)/HUGEINT for
-   the e^2*10^6 products).
+1. brier_decomposition — GENERALIZED Murphy decomposition of the Brier
+   score (reliability - resolution + uncertainty + within-bin term) for
+   the ext101 hash-contract propensity score vs realized purchase. The
+   within-bin term (score variance minus 2x score-outcome covariance
+   inside each decile) is what makes the identity close EXACTLY for
+   continuous scores — the classic 3-term identity assumes constant
+   forecasts per bin. EXACT INTEGERS throughout: milli-score differences
+   square to micro units natively, so the total Brier is one integer
+   DIV; per-bin terms are integer-DIV-floored then exactly summed
+   (DECIMAL(38,0)/HUGEINT for the e^2*10^6 products); the identity is
+   asserted to per-bin flooring slack in tests.
 2. binseg_daily_changepoints — binary segmentation over the daily
    event-count series: split 1 minimizes two-segment SSE, split 2
    minimizes the three-segment SSE given split 1. Prefix sums are exact
@@ -50,6 +54,9 @@ WITH per_user AS (
   SELECT score_milli // 100 AS bin,
          CAST(count(*) AS BIGINT) AS n_k,
          CAST(sum(score_milli) AS BIGINT) AS s_k,
+         CAST(sum(CAST(score_milli AS HUGEINT) * score_milli) AS HUGEINT)
+           AS q_k,
+         CAST(sum(score_milli * converted) AS BIGINT) AS sp1_k,
          CAST(sum(converted) AS BIGINT) AS c_k
   FROM per_user GROUP BY 1
 ), tot AS (
@@ -71,14 +78,20 @@ WITH per_user AS (
              * 1000000
              // (CAST(n_k AS HUGEINT) * (SELECT n FROM tot)
                  * (SELECT n FROM tot) * (SELECT n FROM tot)))
-      AS BIGINT) AS resolution_micro
+      AS BIGINT) AS resolution_micro,
+    CAST(sum((n_k * q_k - CAST(s_k AS HUGEINT) * s_k
+              - 2000 * (CAST(n_k AS HUGEINT) * sp1_k
+                        - CAST(s_k AS HUGEINT) * c_k))
+             // (n_k * (SELECT n FROM tot))) AS BIGINT)
+      AS within_bin_term_micro
   FROM bins
 )
 SELECT t.n AS n_users, t.c AS n_converted, b.brier_micro,
        m.reliability_micro, m.resolution_micro,
        CAST(CAST(t.c AS HUGEINT) * (t.n - t.c) * 1000000
             // (CAST(t.n AS HUGEINT) * t.n) AS BIGINT)
-         AS uncertainty_micro
+         AS uncertainty_micro,
+       m.within_bin_term_micro
 FROM tot t CROSS JOIN brier b CROSS JOIN terms m
 """
 
@@ -109,6 +122,10 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_k"),
         F.sum("score_milli").cast("bigint").alias("s_k"),
+        F.sum(d38(F.col("score_milli")) * F.col("score_milli")).alias("q_k"),
+        F.sum(F.col("score_milli") * F.col("converted"))
+        .cast("bigint")
+        .alias("sp1_k"),
         F.sum("converted").cast("bigint").alias("c_k"),
     )
     tot = bins.agg(
@@ -141,10 +158,22 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * (c_k * n - c * n_k) * 1000000"
                 " DIV (CAST(n_k AS DECIMAL(38,0)) * n * n * n) AS BIGINT)"
             ).alias("res_term"),
+            # generalized-decomposition residual: within-bin score
+            # variance minus 2x within-bin score-outcome covariance —
+            # with it the identity brier = rel - res + unc + wb closes
+            # exactly (scores VARY inside deciles; the classic 3-term
+            # Murphy identity assumes they don't)
+            F.expr(
+                "CAST((n_k * q_k - CAST(s_k AS DECIMAL(38,0)) * s_k"
+                " - 2000 * (CAST(n_k AS DECIMAL(38,0)) * sp1_k"
+                " - CAST(s_k AS DECIMAL(38,0)) * c_k))"
+                " DIV (n_k * n) AS BIGINT)"
+            ).alias("wb_term"),
         )
         .agg(
             F.sum("rel_term").cast("bigint").alias("reliability_micro"),
             F.sum("res_term").cast("bigint").alias("resolution_micro"),
+            F.sum("wb_term").cast("bigint").alias("within_bin_term_micro"),
         )
     )
     return (
@@ -160,6 +189,7 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(CAST(c AS DECIMAL(38,0)) * (n - c) * 1000000"
                 " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
             ).alias("uncertainty_micro"),
+            "within_bin_term_micro",
         )
     )
 
