@@ -173,6 +173,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext129,
         queries_ext130,
         queries_ext131,
+        queries_ext132,
     )
 
     return REGISTRY
