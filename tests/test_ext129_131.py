@@ -358,3 +358,62 @@ def test_gini_flags_separating_threshold(spark, tmp_path):
     assert len(best) == 1
     assert best[0].gini_micro == 0  # perfect separation
     assert best[0].n_l == 100 and best[0].n_r == 100
+
+
+# ---------------------------------------------------------------- ext132
+
+
+def test_croston_hand_fold(spark, tmp_path):
+    """Part 1 demands [4,0,0,8,0,0] over six weeks (alpha = 1/8):
+    z = 0.875*4 + 0.125*8 = 4.5, p = 0.875*1 + 0.125*3 = 1.25,
+    forecast = 3.6. Part 2's single last-week demand pins the calendar
+    end and gets z = 3, p = 6."""
+    mondays = [dt.datetime(2024, 1, 1) + dt.timedelta(weeks=w)
+               for w in range(6)]
+    orders = [
+        (1, 1, "O", 1.0, mondays[0], "1-URGENT"),
+        (2, 1, "O", 1.0, mondays[3], "1-URGENT"),
+        (3, 2, "O", 1.0, mondays[5], "1-URGENT"),
+    ]
+    li = [(1, 101, 4.0), (2, 101, 8.0), (3, 202, 3.0)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r.part: r
+        for r in REG["croston_intermittent_forecast"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    p1 = out[101]
+    assert (p1.n_weeks, p1.n_demand_weeks) == (6, 2)
+    assert p1.z_size == 4.5 and p1.p_interval == 1.25
+    assert p1.forecast_per_week == 3.6
+    p2 = out[202]
+    assert p2.z_size == 3.0 and p2.p_interval == 6.0
+    assert p2.forecast_per_week == 0.5
+
+
+def test_ljung_box_alternating_series(spark, tmp_path):
+    """A strict period-2 series has r_1 ~ -1: Q must be far above the
+    ~14 (micro: 14e6) chi-square(7) 95% cutoff — i.e. the statistic
+    detects the autocorrelation a flat-noise series wouldn't show."""
+    rows = []
+    eid = 0
+    for day in range(24):
+        n = 100 if day % 2 == 0 else 300
+        for i in range(n):
+            rows.append(
+                (eid, T0 + dt.timedelta(days=day, minutes=i % 1440), i,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = REG["ljung_box_daily_q"][0](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 24 and r.n_lags == 7
+    assert r.q_micro > 50_000_000  # >> chi2_7 at any sane alpha
