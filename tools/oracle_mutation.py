@@ -84,6 +84,11 @@ DEFAULT_TARGETS = [
     "asof_join_last_purchase",
     "funnel_conversion",
     "weekly_cohort_retention",
+    # round-9 families
+    "esd_outlier_days",
+    "hits_hubs_authorities",
+    "brier_decomposition",
+    "croston_intermittent_forecast",
 ]
 
 _SORT_SWAP = {
