@@ -668,3 +668,80 @@ def page_hinkley_incremental(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT streaming twin (round 9): the ext132 sequential conversion monitor
+# as per-key incremental state — Wald's test is DEFINED as a sequential
+# procedure, so the streaming form is its native habitat
+# ---------------------------------------------------------------------------
+
+SPRT_OUTPUT_SCHEMA = (
+    "metric string, n_days bigint, cum_llr_micro bigint, decision string"
+)
+SPRT_STATE_SCHEMA = "cum bigint, idx bigint, dec bigint, last bigint"
+
+
+def sprt_incremental(
+    day_counts: DataFrame,
+    llr_pos: float,
+    llr_neg: float,
+    bound_micro: int = 2_944_438,  # floor(ln(19) * 1e6)
+) -> DataFrame:
+    """Streaming twin of sprt_conversion_monitor (queries_ext130): the
+    cumulative log-likelihood ratio as per-key state, decision LATCHED
+    at the first +/- bound crossing and immutable afterwards.
+
+    ``llr_pos`` / ``llr_neg`` are the two per-observation LLR constants
+    (ln(r) and ln((1 - r*p0)/(1 - p0))) — the caller computes them with
+    Spark's own ``F.log`` and passes the JVM doubles through, so the
+    per-day increment floor((k*llr_pos + (n-k)*llr_neg) * 1e6) is the
+    IDENTICAL IEEE chain the batch query folds, and the running
+    statistic is an exact integer cumsum (bit-for-bit equality asserted
+    in tests/test_stream_sprt_twin.py). Delivery contract as the PH/holt
+    twins: per-(metric, day_epoch) (n, k) rows, in order; replays at or
+    below the high-water mark dropped."""
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cum, idx, dec, last = (int(v) for v in state.get)
+        else:
+            cum, idx, dec, last = 0, 0, 0, -1
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("day_epoch")
+        import math
+
+        for r in rows.itertuples(index=False):
+            de, n, k = int(r.day_epoch), int(r.n), int(r.k)
+            if de <= last:
+                continue  # replayed day: already folded
+            llr = math.floor((k * llr_pos + (n - k) * llr_neg) * 1e6)
+            cum += llr
+            idx += 1
+            if dec == 0:
+                if cum >= bound_micro:
+                    dec = 1
+                elif cum <= -bound_micro:
+                    dec = -1
+            last = de
+        state.update((cum, idx, dec, last))
+        yield pd.DataFrame(
+            {
+                "metric": [key[0]],
+                "n_days": [idx],
+                "cum_llr_micro": [cum],
+                "decision": [
+                    {0: "continue", 1: "reject_h0", -1: "accept_h0"}[dec]
+                ],
+            }
+        )
+
+    return day_counts.groupBy("metric").applyInPandasWithState(
+        fn,
+        SPRT_OUTPUT_SCHEMA,
+        SPRT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -76,14 +76,17 @@ def test_stream_ph_equals_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    hist = (
-        spark.sql("SELECT * FROM ph_twin")
-        .withColumn("_rn", F.monotonically_increasing_id())
-        .orderBy("_rn")
-        .drop("_rn")
-        .collect()
-    )
-    final = {r.event_type: r.asDict() for r in hist}
+    hist = spark.sql("SELECT * FROM ph_twin").collect()
+    # final row per key = max days absorbed (n_days is monotone per key);
+    # sink row order is not insertion order (the hw-twin lesson)
+    final = {}
+    for r in hist:
+        d = r.asDict()
+        if (
+            r.event_type not in final
+            or d["n_days"] > final[r.event_type]["n_days"]
+        ):
+            final[r.event_type] = d
     for etype in series:
         assert final[etype] == batch[etype], (
             etype,
