@@ -143,8 +143,14 @@ def _pairs(bounded: DataFrame) -> DataFrame:
         F.col("item").alias("item_b"),
     ).alias("b")
     return (
+        # Both sides of the session self-join are O(events) — they GROW
+        # with the corpus, and round 9's 10x AQE probe proved Catalyst
+        # never demotes an already-planned broadcast (bigram clone kept a
+        # 419 MB build). Pin shuffle-hash: per-executor memory stays
+        # O(partition) and both sides hash-cluster on the same
+        # (user_id, sess_id) keys.
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.user_id") == F.col("b.user_id"))
             & (F.col("a.sess_id") == F.col("b.sess_id"))
             & (F.col("a.item") < F.col("item_b")),
@@ -176,11 +182,12 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item").alias("item_b"), F.col("n_sess").alias("sessions_b")
     )
     return (
-        # per-item stats are O(catalog): no forced broadcast — AQE keeps
-        # them broadcast while small and degrades to shuffle join at a
-        # 100x catalog instead of OOMing the driver (VERDICT r7 #1)
-        pairs.join(ia, "item_a")
-        .join(ib, "item_b")
+        # per-item stats are O(catalog) — they grow with the data, and
+        # the round-9 10x AQE probe disproved the old "AQE will demote"
+        # assumption (it only promotes SMJ->broadcast, never the
+        # reverse), so both catalog joins are pinned shuffle-hash.
+        pairs.join(ia.hint("shuffle_hash"), "item_a")
+        .join(ib.hint("shuffle_hash"), "item_b")
         .crossJoin(n_sessions)
         .select(
             "item_a",

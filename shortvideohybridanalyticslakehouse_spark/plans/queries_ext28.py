@@ -72,8 +72,15 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(counts.agg(F.sum("n_tok").alias("n_total")))
     )
     bits = -F.log2(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
+    # `vocab` is O(|vocabulary|) — it GROWS with the corpus. Round 9's
+    # 10x AQE probe proved Catalyst keeps broadcasting this exact
+    # count-join shape (419 MB on the bigram clone) instead of demoting,
+    # so the join is pinned shuffle-hash: per-executor memory stays
+    # O(partition) at any corpus scale, and `vocab` is already clustered
+    # on `tok` by the groupBy that produced it (exchange reuse, no added
+    # shuffle on the build side).
     scored = (
-        occ.join(vocab, "tok")
+        occ.join(vocab.hint("shuffle_hash"), "tok")
         .groupBy("doc_id", "source")
         .agg(F.round(F.avg(bits), 6).alias("bits_per_token"))
     )

@@ -71,8 +71,12 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(counts.agg(F.sum("n_tok").alias("n_total")))
     )
     bits = -F.log2(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
+    # O(vocab) build side grows with the corpus and the round-9 10x AQE
+    # probe proved this count-join shape does NOT demote from broadcast
+    # on its own (bigram clone: 419 MB) — pin shuffle-hash; the build is
+    # already clustered on `tok` by its own groupBy (exchange reuse).
     scored = (
-        occ.join(vocab, "tok")
+        occ.join(vocab.hint("shuffle_hash"), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("doc_tokens"),

@@ -81,6 +81,43 @@ MIN_GATED_BYTES = int(os.environ.get("SVH_SHUFFLE_MIN_BYTES", "1000000"))
 BROADCAST_CAP = int(
     os.environ.get("SVH_BROADCAST_CAP_BYTES", str(32 * 1024 * 1024))
 )
+# Broadcast allow-list gate (VERDICT r9 #1): round 9's 10x probe proved
+# AQE only PROMOTES sort-merge -> broadcast, never the reverse — a
+# statically-misestimated build side (post-explode/post-agg frames whose
+# stats Catalyst gets wrong) keeps broadcasting as it grows (bigram:
+# 419 MB at 10x). So any single broadcast above the watch threshold must
+# be consciously owned: the query either carries a shuffle_hash pin (its
+# broadcast then drops below watch) or appears here with the reason its
+# build side is provably bounded / estimator-visible. Estimator-visible
+# means the size estimate is rooted in the parquet scan footprint, so at
+# a larger SF Catalyst statically plans SMJ from the start — the class
+# that genuinely adapts, unlike the post-explode misestimate class.
+BROADCAST_WATCH = int(
+    os.environ.get("SVH_BROADCAST_WATCH_BYTES", str(12 * 1024 * 1024))
+)
+BOUNDED_BUILD_ALLOWLIST: dict[str, str] = {
+    "tpch_q4_order_priority": (
+        "orders-scan build side: estimator-visible (scan-rooted size), "
+        "statically demotes to SMJ at larger SF"
+    ),
+    "tpch_q5_local_supplier_volume": (
+        "orders/customer scan-rooted build sides: estimator-visible, "
+        "statically demotes to SMJ at larger SF"
+    ),
+    "tpch_q7_volume_shipping": (
+        "orders scan-rooted build side: estimator-visible, statically "
+        "demotes to SMJ at larger SF"
+    ),
+    "dsir_importance_topk": (
+        "hashed-vocab count frame: 100x probe (tools/scale_probe_round8c"
+        ".py, PLANS.md round 9) measured AQE demoting it to SMJ — 0 MB "
+        "broadcast at 100x"
+    ),
+    "dsir_source_selection_rates": (
+        "same DSIR vocab frame as dsir_importance_topk; covered by the "
+        "same 100x probe row"
+    ),
+}
 
 
 def _module_hash(fn) -> str:
@@ -216,6 +253,40 @@ def main() -> int:
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     for s in cap_notes:
         print("NOTE", s)
+
+    # Allow-list sweep (VERDICT r9 #1): every over-watch broadcast — in
+    # this run's measurements AND in the committed artifact's rows for
+    # queries not re-measured here — must be declared bounded/adaptive.
+    def _watch_failures(rows: dict[str, dict]) -> list[str]:
+        out = []
+        for qname, qm in sorted(rows.items()):
+            sz = qm.get("max_broadcast_bytes", 0)
+            if sz > BROADCAST_WATCH and qname not in BOUNDED_BUILD_ALLOWLIST:
+                out.append(
+                    f"{qname}: broadcast {sz:,}B > watch "
+                    f"{BROADCAST_WATCH:,}B and NOT in "
+                    f"BOUNDED_BUILD_ALLOWLIST — pin shuffle_hash on the "
+                    f"growing build side, or add a justified allow-list "
+                    f"entry (AQE never demotes a misestimated broadcast; "
+                    f"round-9 probe)"
+                )
+        return out
+
+    stale = {}
+    if os.path.exists(artifact):
+        with open(artifact) as f:
+            stale = {
+                k: v
+                for k, v in json.load(f).get("queries", {}).items()
+                if k not in current and k in registry
+            }
+    watch_failures = _watch_failures(current) + _watch_failures(stale)
+    for qname in BOUNDED_BUILD_ALLOWLIST:
+        if qname not in registry:
+            print(f"NOTE allow-list entry {qname} no longer registered")
+    for s in watch_failures:
+        print("FAIL", s)
+    cap_failures.extend(watch_failures)
 
     if record or not os.path.exists(artifact):
         merged = {}
