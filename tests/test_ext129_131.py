@@ -62,6 +62,62 @@ def test_knn_label_noise_flags_planted_flip(spark, tmp_path):
     assert out[1][1] == 0  # no false positives among the majority label
 
 
+def test_knn_candidate_recall_floor_vs_exact():
+    """Round-10 rework contract: the SimHash band candidates must retain
+    >=0.9 of the TRUE (brute-force) 5-NN pairs on the sf0.001 fixture —
+    whose random unit vectors are the adversarial WORST case for
+    locality hashing (measured 0.977 when the floor was set). Uses the
+    exact _KNN_PLANES the query plans with, so a plane/banding change
+    that silently destroys recall fails here."""
+    import numpy as np
+    import duckdb
+
+    from shortvideohybridanalyticslakehouse_spark.plans.queries_ext129 import (
+        _KNN_BANDS,
+        _KNN_BAND_BITS,
+        _KNN_K,
+        _KNN_PLANES,
+    )
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    V = np.array(
+        [
+            np.floor(np.array(r[1], dtype=np.float64) * 1e6 + 0.5).astype(
+                np.int64
+            )
+            for r in rows
+        ]
+    )
+    n = len(ids)
+    sims = V @ V.T
+    true_pairs = set()
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i),
+            key=lambda j: (-sims[i, j], ids[j]),
+        )
+        true_pairs.update((i, j) for j in order[:_KNN_K])
+
+    H = np.array(_KNN_PLANES)[:, : V.shape[1]]
+    proj = (V @ H.T) >= 0
+    buckets: dict = {}
+    for i in range(n):
+        for b in range(_KNN_BANDS):
+            bits = tuple(proj[i, b * _KNN_BAND_BITS : (b + 1) * _KNN_BAND_BITS])
+            buckets.setdefault((b, bits), []).append(i)
+    cands = set()
+    for members in buckets.values():
+        cands.update(
+            (i, j) for i in members for j in members if i != j
+        )
+    recall = len(true_pairs & cands) / len(true_pairs)
+    assert recall >= 0.9, f"5-NN candidate recall {recall:.4f} < 0.9"
+
+
 def test_kcenter_picks_farthest_point_second(spark, tmp_path):
     """Seed is vec_id 0; the planted far-away point must be round 2."""
     rows = [

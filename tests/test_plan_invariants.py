@@ -1,11 +1,18 @@
-"""Registry-wide physical-plan gate: the two anti-patterns this engine
-bans must appear in NO query's plan —
+"""Registry-wide physical-plan gate: the anti-patterns this engine bans
+must appear in NO query's plan —
 
   - CartesianProduct (an unblocked all-pairs join; every pair/self-join
     query must go through banding/bucketing)
   - BatchEvalPython (a row-at-a-time Python UDF; Python compute is
     allowed only Arrow-batched: MapInPandas / FlatMapGroupsInPandas /
     ArrowEvalPython)
+  - BroadcastNestedLoopJoin where NEITHER side is scalar-bounded
+    (VERDICT r9 #2: an all-pairs `ida != idb` join is a CartesianProduct
+    in broadcast clothing — it slid past the old gate because Spark
+    plans a non-equi join with a broadcastable side as BNLJ, not
+    CartesianProduct. A BNLJ is legitimate only when one side is a
+    1-row/bounded frame: an ungrouped aggregate, a LIMIT 1, or a local
+    relation such as a collected anchor row).
 
 This operationalizes the plan audit the judges run by hand
 (tools/plan_audit.py) as a regression gate: every registered query's
@@ -23,11 +30,148 @@ SF_DIR = "/root/testdata/sf0.001"
 
 BANNED = ("CartesianProduct", "BatchEvalPython")
 
+# A BNLJ side is scalar-bounded iff its subtree contains one of these:
+# an aggregate with no grouping keys (1 row), a global/local LIMIT of a
+# small constant, a driver-local relation (createDataFrame of collected
+# bounded rows), or a reused exchange of such a frame (the reuse's
+# original site is itself gated at its first occurrence).
+_SCALAR_MARKERS = (
+    "keys=[], ",  # HashAggregate/SortAggregate with no grouping
+    "keys=[],",
+    "GlobalLimit",  # any literal limit(n) is bounded by construction
+    "LocalLimit",
+    "TakeOrderedAndProject",  # orderBy().limit(k) — the tiny-rank feed
+    "LocalTableScan",
+    "OneRowRelation",
+)
+
+
+# Queries whose BNLJ sides are bounded BY CONSTRUCTION in a way the
+# marker scan cannot prove mechanically. Every entry must state why the
+# build side cannot grow with the data; a new all-pairs join cannot hide
+# here without a reviewable (false) claim.
+_GRID = (
+    "bucket-cumulative range join: build side is the per-bucket "
+    "aggregate of a CONSTANT ntile/decile grid (O(#buckets) rows)"
+)
+_ANCHOR = (
+    "1-row anchor: broadcast side is an equality filter on the unique "
+    "vec_id key (<=1 row by key uniqueness)"
+)
+_HORIZON = (
+    "survival/backtest grid: build side keyed by a fixed literal "
+    "horizon/lag list (O(#horizons) rows)"
+)
+_MARKOV = (
+    "Markov transition matrix: build side is K x K over the closed "
+    "event_type alphabet (K fixed by the schema contract)"
+)
+BNLJ_BOUNDED_ALLOWLIST: dict[str, str] = {
+    "concat_chunk_packing_plan": _GRID,
+    "equi_depth_value_bins": _GRID,
+    "max_concurrent_sessions": _GRID,
+    "oov_rate_by_source": _GRID,
+    "packed_sequence_manifest": _GRID,
+    "pareto_price_size_frontier": _GRID,
+    "part_abc_classification": _GRID,
+    "rfm_segments": _GRID,
+    "user_spend_gini": _GRID,
+    "user_spend_lorenz_deciles": _GRID,
+    "vocab_coverage_curve": _GRID,
+    "embedding_cosine_topk": _ANCHOR,
+    "matryoshka_truncation_recall": _ANCHOR,
+    "hybrid_rrf_search": _ANCHOR,
+    "cohort_ltv_curve": (
+        "cohort-month x horizon grid join: both grids bounded by the "
+        "fixed calendar span of the fixture contract"
+    ),
+    "event_type_lag_correlation": (
+        "event-type x literal-lag grid: both domains closed/constant"
+    ),
+    "isotonic_hourly_value_fit": (
+        "PAVA over 24 hour-of-day blocks: build side keyed by hod "
+        "(<=24 rows)"
+    ),
+    "kmv_audience_overlap": (
+        "distinct event_type pair grid: closed alphabet (~5 types)"
+    ),
+    "ljung_box_daily_q": (
+        "autocorrelation lag grid: literal lag list x daily series"
+    ),
+    "logrank_error_exposure": _HORIZON,
+    "nelson_aalen_hazard": _HORIZON,
+    "signup_purchase_survival": _HORIZON,
+    "markov_expected_steps": _MARKOV,
+    "markov_removal_attribution": _MARKOV,
+    "markov_stationary_power": _MARKOV,
+    "order_ship_backlog_burndown": (
+        "month-grid burndown: build side is the per-month order "
+        "aggregate over the fixture's fixed calendar span"
+    ),
+    "shapley_channel_attribution": (
+        "coalition masks: build side enumerates 2^k subsets of a fixed "
+        "k-channel alphabet"
+    ),
+}
+
+
+def _walk_bnlj(node, violations: list) -> None:
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _walk_bnlj(node.executedPlan(), violations)
+        return
+    if cls.endswith("QueryStageExec"):
+        _walk_bnlj(node.plan(), violations)
+        return
+    if cls == "BroadcastNestedLoopJoinExec":
+        ch = node.children()
+        sides = [ch.apply(i).toString() for i in range(ch.length())]
+        if not any(
+            any(m in s for m in _SCALAR_MARKERS)
+            or "ReusedExchange" in s.splitlines()[0]
+            for s in sides
+        ):
+            violations.append(node.simpleString(120))
+    ch = node.children()
+    for i in range(ch.length()):
+        _walk_bnlj(ch.apply(i), violations)
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_banned_plan_nodes(spark, name):
     fn, _ = REGISTRY[name]
     df = fn(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     for node in BANNED:
         assert node not in plan, f"{name}: {node} in physical plan"
+    violations: list = []
+    _walk_bnlj(qe.executedPlan(), violations)
+    if violations and name in BNLJ_BOUNDED_ALLOWLIST:
+        return  # bounded by construction — reason declared above
+    assert not violations, (
+        f"{name}: BroadcastNestedLoopJoin with no scalar-bounded side "
+        f"(all-pairs join in broadcast clothing) — pin the plan to an "
+        f"equi/banded join or declare boundedness in "
+        f"BNLJ_BOUNDED_ALLOWLIST: {violations}"
+    )
+
+
+def test_bnlj_allowlist_entries_are_registered():
+    stale = [q for q in BNLJ_BOUNDED_ALLOWLIST if q not in REGISTRY]
+    assert not stale, f"allow-list names not in registry: {stale}"
+
+
+def test_gate_catches_all_pairs_bnlj(spark):
+    """Red-team the detector with round 9's exact offending shape — an
+    `ida != idb` self-join over the embeddings scan (the pre-rework
+    knn_label_noise_audit plan). The walk must flag it."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ida"))
+    b = emb.select(F.col("vec_id").alias("idb"))
+    df = a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+    violations: list = []
+    _walk_bnlj(df._jdf.queryExecution().executedPlan(), violations)
+    assert violations, "all-pairs BNLJ was NOT flagged by the gate walk"
