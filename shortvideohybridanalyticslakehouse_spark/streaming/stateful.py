@@ -677,9 +677,12 @@ def page_hinkley_incremental(
 # ---------------------------------------------------------------------------
 
 SPRT_OUTPUT_SCHEMA = (
-    "metric string, n_days bigint, cum_llr_micro bigint, decision string"
+    "metric string, n_days bigint, cum_llr_micro bigint, decision string,"
+    " n_days_dropped bigint"
 )
-SPRT_STATE_SCHEMA = "cum bigint, idx bigint, dec bigint, last bigint"
+SPRT_STATE_SCHEMA = (
+    "cum bigint, idx bigint, dec bigint, last bigint, skipped bigint"
+)
 
 
 def sprt_incremental(
@@ -700,15 +703,19 @@ def sprt_incremental(
     statistic is an exact integer cumsum (bit-for-bit equality asserted
     in tests/test_stream_sprt_twin.py). Delivery contract as the PH/holt
     twins: per-(metric, day_epoch) (n, k) rows, in order; replays at or
-    below the high-water mark dropped."""
+    below the high-water mark dropped — and COUNTED (``n_days_dropped``,
+    ADVICE r9): bit-exactness vs the batch monitor holds only under
+    in-order delivery, so a genuinely late NEW day folded into the
+    dropped count is the observable signal that the contract was
+    violated and the twin has diverged from the closed series."""
 
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            cum, idx, dec, last = (int(v) for v in state.get)
+            cum, idx, dec, last, skipped = (int(v) for v in state.get)
         else:
-            cum, idx, dec, last = 0, 0, 0, -1
+            cum, idx, dec, last, skipped = 0, 0, 0, -1, 0
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values("day_epoch")
         import math
@@ -716,7 +723,8 @@ def sprt_incremental(
         for r in rows.itertuples(index=False):
             de, n, k = int(r.day_epoch), int(r.n), int(r.k)
             if de <= last:
-                continue  # replayed day: already folded
+                skipped += 1  # replay OR contract-violating late day
+                continue
             llr = math.floor((k * llr_pos + (n - k) * llr_neg) * 1e6)
             cum += llr
             idx += 1
@@ -726,7 +734,7 @@ def sprt_incremental(
                 elif cum <= -bound_micro:
                     dec = -1
             last = de
-        state.update((cum, idx, dec, last))
+        state.update((cum, idx, dec, last, skipped))
         yield pd.DataFrame(
             {
                 "metric": [key[0]],
@@ -735,6 +743,7 @@ def sprt_incremental(
                 "decision": [
                     {0: "continue", 1: "reject_h0", -1: "accept_h0"}[dec]
                 ],
+                "n_days_dropped": [skipped],
             }
         )
 
@@ -742,6 +751,96 @@ def sprt_incremental(
         fn,
         SPRT_OUTPUT_SCHEMA,
         SPRT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston streaming twin (round 10): the ext132 intermittent-demand
+# forecaster as per-part incremental state — the demand/interval double
+# EWMA is a left fold, so the streamed form maintains it exactly
+# ---------------------------------------------------------------------------
+
+CROSTON_OUTPUT_SCHEMA = (
+    "part bigint, n_weeks bigint, n_demand_weeks bigint, z_size double,"
+    " p_interval double, forecast_per_week double, n_weeks_dropped bigint"
+)
+CROSTON_STATE_SCHEMA = (
+    "z double, p double, q bigint, started bigint, nw bigint, ndw bigint,"
+    " last bigint, skipped bigint"
+)
+
+
+def croston_incremental(
+    week_demand: DataFrame, alpha: float = 0.125
+) -> DataFrame:
+    """Streaming twin of croston_intermittent_forecast (queries_ext132):
+    the [z, p, q, started] Croston fold as per-part state across
+    micro-batches.
+
+    Input: per-(part, wk_epoch) gap-FILLED weekly demand ``d`` (zero
+    weeks included — zeros ARE the signal in intermittent demand), in
+    order; replays at or below the high-water mark are dropped and
+    counted (``n_weeks_dropped``, the SPRT twin's observability
+    contract). The two EWMA updates run the identical IEEE chain the
+    batch fold's F.aggregate evaluates — (z*a) + (d*b) and
+    (p*a) + ((q+1)*b) with a = 1 - alpha, b = alpha — so the final state
+    is bit-for-bit the batch query's (tests/test_stream_croston_twin.py);
+    alpha defaults to the batch lane's exactly-representable 1/8."""
+    a, b = 1.0 - alpha, alpha
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            z, p, q, started, nw, ndw, last, skipped = state.get
+            z, p = float(z), float(p)
+            q, started, nw, ndw, last, skipped = (
+                int(q), int(started), int(nw), int(ndw), int(last),
+                int(skipped),
+            )
+        else:
+            z, p, q, started, nw, ndw, last, skipped = (
+                0.0, 0.0, 0, 0, 0, 0, -1, 0,
+            )
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("wk_epoch")
+        for r in rows.itertuples(index=False):
+            wk, d = int(r.wk_epoch), float(r.d)
+            if wk <= last:
+                skipped += 1  # replay OR contract-violating late week
+                continue
+            nw += 1
+            if d <= 0:
+                q += 1
+            elif started == 0:
+                z, p, q, started = d, float(q + 1), 0, 1
+                ndw += 1
+            else:
+                z = z * a + d * b
+                p = p * a + (q + 1) * b
+                q = 0
+                ndw += 1
+            last = wk
+        state.update((z, p, q, started, nw, ndw, last, skipped))
+        fc = z / p if started == 1 and p > 0 else 0.0
+        yield pd.DataFrame(
+            {
+                "part": [key[0]],
+                "n_weeks": [nw],
+                "n_demand_weeks": [ndw],
+                "z_size": [z],
+                "p_interval": [p],
+                "forecast_per_week": [fc],
+                "n_weeks_dropped": [skipped],
+            }
+        )
+
+    return week_demand.groupBy("part").applyInPandasWithState(
+        fn,
+        CROSTON_OUTPUT_SCHEMA,
+        CROSTON_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )
