@@ -364,14 +364,24 @@ def recover_bucketed_table(location: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+# The ONLY names maintenance will hard-link through unexamined: known
+# metadata sidecars. Everything else that doesn't parse a bucket id is a
+# hard error — the allowlist is inverted (ADVICE r9) because the old
+# "error only on *.parquet/*.orc" denylist silently passed any OTHER
+# extension (or none) through as an "extra", which is exactly the
+# retained-rows-after-erasure risk the guard exists to close.
+_SIDECAR_ALLOWLIST = ("_SUCCESS", "_committed", "_started", "_metadata")
+
+
 def _scan_bucket_files(loc: str) -> tuple[dict[int, list[str]], list[str]]:
     """List a bucketed table directory into (bucket -> files, extras).
 
-    Extras are non-data sidecars (``_SUCCESS`` and friends). A *data*
-    file (``*.parquet``/``*.orc``) whose name does not parse a bucket id
-    is a hard error: maintenance primitives below hard-link extras
-    through unchanged, so silently classifying a data file as an extra
-    would retain rows that an erasure promised to remove (ADVICE r8)."""
+    Extras are ALLOWLISTED metadata sidecars only (``_SUCCESS`` and
+    friends). Any other file whose name does not parse a bucket id —
+    data file of any extension, or no extension at all — is a hard
+    error: maintenance primitives below hard-link extras through
+    unchanged, so silently classifying an unknown file as an extra
+    would retain rows that an erasure promised to remove (ADVICE r8/r9)."""
     import os
 
     by_bucket: dict[int, list[str]] = {}
@@ -381,11 +391,12 @@ def _scan_bucket_files(loc: str) -> tuple[dict[int, list[str]], list[str]]:
             continue  # .crc shadows also carry the _NNNNN bucket pattern
         b = _bucket_of(f)
         if b is None:
-            if f.endswith((".parquet", ".orc")):
+            if not f.startswith(_SIDECAR_ALLOWLIST):
                 raise RuntimeError(
-                    f"non-bucketed data file in bucketed table dir: {f!r} "
-                    f"under {loc} — refusing to run maintenance that would "
-                    "pass it through unexamined"
+                    f"unrecognized file in bucketed table dir: {f!r} "
+                    f"under {loc} — neither a bucket-named data file nor "
+                    "an allowlisted sidecar; refusing to run maintenance "
+                    "that would pass it through unexamined"
                 )
             extras.append(f)  # _SUCCESS and friends
             continue

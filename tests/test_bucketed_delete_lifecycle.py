@@ -165,23 +165,29 @@ def test_erase_preserves_null_keyed_rows(spark, lifecycle_table):
 
 
 def test_maintenance_rejects_foreign_data_file(spark, lifecycle_table):
-    """ADVICE r8 (low): a data file whose name carries no bucket id must
-    abort maintenance loudly instead of being linked through as an
-    'extra' (incomplete erasure with no signal)."""
+    """ADVICE r8 (low) + r9 (low): ANY file that is neither bucket-named
+    nor an allowlisted sidecar must abort maintenance loudly instead of
+    being linked through as an 'extra' (incomplete erasure with no
+    signal) — including files with no/unknown extension, the hole the
+    old parquet/orc denylist left open."""
     loc = table_location(spark, TABLE)
     src = next(
         f for f in os.listdir(loc)
         if f.endswith(".parquet") and not f.startswith(".")
     )
-    os.link(os.path.join(loc, src), os.path.join(loc, "stray.parquet"))
-    try:
-        with pytest.raises(RuntimeError, match="non-bucketed data file"):
-            compact_bucketed_table(
-                spark, TABLE, "video_id", ["minute"],
-                ["video_id", "minute"], ["ver"], N_BUCKETS,
-            )
-        spark.sql(f"REFRESH TABLE {TABLE}")
-        with pytest.raises(RuntimeError, match="non-bucket"):
-            delete_keys_bucketed(spark, TABLE, "video_id", [0], ["minute"])
-    finally:
-        os.remove(os.path.join(loc, "stray.parquet"))
+    # r9 hole: extensionless and unknown-extension strays must also abort
+    for stray in ("stray.parquet", "stray", "stray.avro"):
+        os.link(os.path.join(loc, src), os.path.join(loc, stray))
+        try:
+            with pytest.raises(RuntimeError, match="unrecognized file"):
+                compact_bucketed_table(
+                    spark, TABLE, "video_id", ["minute"],
+                    ["video_id", "minute"], ["ver"], N_BUCKETS,
+                )
+            spark.sql(f"REFRESH TABLE {TABLE}")
+            with pytest.raises(RuntimeError, match="unrecognized file"):
+                delete_keys_bucketed(
+                    spark, TABLE, "video_id", [0], ["minute"]
+                )
+        finally:
+            os.remove(os.path.join(loc, stray))

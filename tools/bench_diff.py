@@ -22,8 +22,19 @@ def main() -> None:
     with open(new_path) as f:
         new_doc = json.load(f)
     old, new = old_doc["queries"], new_doc["queries"]
-    old_spread = old_doc.get("query_spread_max_minus_min", {})
-    new_spread = new_doc.get("query_spread_max_minus_min", {})
+    # Like-for-like spreads (ADVICE r9): r09's artifact switched
+    # query_spread_max_minus_min to outlier-TRIMMED while pre-r09
+    # artifacts store raw max-min. Prefer the raw dict when both sides
+    # have one; otherwise whatever each side recorded (the gate takes
+    # max(old, new), so mixing definitions only ever loosens, and only
+    # when one side predates r10).
+    def _spreads(doc: dict) -> dict:
+        return doc.get("query_spread_raw") or doc.get(
+            "query_spread_max_minus_min", {}
+        )
+
+    old_spread = _spreads(old_doc)
+    new_spread = _spreads(new_doc)
     rows = sorted(old.items(), key=lambda kv: -float(kv[1]))[:top_n]
     print(f"| query | {old_path.split('/')[-1]} median | "
           f"{new_path.split('/')[-1]} median | ratio |")
