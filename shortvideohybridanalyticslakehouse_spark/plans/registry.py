@@ -174,6 +174,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext130,
         queries_ext131,
         queries_ext132,
+        queries_ext133,
     )
 
     return REGISTRY
