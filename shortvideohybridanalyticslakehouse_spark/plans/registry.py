@@ -175,6 +175,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext131,
         queries_ext132,
         queries_ext133,
+        queries_ext134,
     )
 
     return REGISTRY

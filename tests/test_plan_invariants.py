@@ -78,6 +78,10 @@ BNLJ_BOUNDED_ALLOWLIST: dict[str, str] = {
     "user_spend_gini": _GRID,
     "user_spend_lorenz_deciles": _GRID,
     "vocab_coverage_curve": _GRID,
+    "ks_weekend_value_shift": (
+        "binned-ECDF cumulative: build side is the per-bin count of a "
+        "CONSTANT 100-bin grid"
+    ),
     "embedding_cosine_topk": _ANCHOR,
     "matryoshka_truncation_recall": _ANCHOR,
     "hybrid_rrf_search": _ANCHOR,
