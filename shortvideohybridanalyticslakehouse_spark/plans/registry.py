@@ -176,6 +176,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext132,
         queries_ext133,
         queries_ext134,
+        queries_ext135,
     )
 
     return REGISTRY

@@ -105,6 +105,7 @@ BNLJ_BOUNDED_ALLOWLIST: dict[str, str] = {
     "logrank_error_exposure": _HORIZON,
     "nelson_aalen_hazard": _HORIZON,
     "signup_purchase_survival": _HORIZON,
+    "kaplan_meier_signup_purchase": _HORIZON,
     "markov_expected_steps": _MARKOV,
     "markov_removal_attribution": _MARKOV,
     "markov_stationary_power": _MARKOV,
