@@ -177,6 +177,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext133,
         queries_ext134,
         queries_ext135,
+        queries_ext136,
     )
 
     return REGISTRY

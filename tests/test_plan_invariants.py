@@ -99,6 +99,14 @@ BNLJ_BOUNDED_ALLOWLIST: dict[str, str] = {
     "kmv_audience_overlap": (
         "distinct event_type pair grid: closed alphabet (~5 types)"
     ),
+    "label_centroid_db_index": (
+        "K x K label-pair matrix: build side is the per-label centroid "
+        "frame over the closed label alphabet (K rows)"
+    ),
+    "centroid_label_confusion": (
+        "vector x centroid assignment: build side is the K-row centroid "
+        "frame over the closed label alphabet"
+    ),
     "ljung_box_daily_q": (
         "autocorrelation lag grid: literal lag list x daily series"
     ),
