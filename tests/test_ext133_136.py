@@ -1,0 +1,319 @@
+"""Planted-fixture tests for the round-10 lanes (ext133-136): each query
+gets a hand-constructed corpus where the expected answer is known by
+design, independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
+
+REG = load_all()
+
+T0 = dt.datetime(2024, 3, 4, 0, 0, 0)  # a Monday
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+# ------------------------------------------------------------------ ext133
+
+
+def test_kl_source_drift_uniform_source_is_zero(spark, tmp_path):
+    """A source whose distribution EQUALS the corpus distribution has
+    KL = 0; a skewed source has KL > 0."""
+    # corpus: tokens a,b each appear 4 times total; srcA contributes
+    # (a b a b) — same 50/50 as the corpus; srcB contributes (a a b b)
+    # — also 50/50. Make srcB skewed instead: (a a a b) and srcA (b a b
+    # a b a... choose so corpus != srcB distribution.
+    rows = [
+        (1, "a b a b", "xx", "srcA", 7),
+        (2, "a a a b", "xx", "srcB", 7),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r.source: r for r in REG["kl_source_drift"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # corpus: a=5, b=3 of 8. srcA: a=2,b=2 -> p != q, KL > 0
+    # srcB: a=3,b=1 -> p != q, KL > 0; srcB is MORE skewed vs corpus
+    assert out["srcA"].n_tokens == 4 and out["srcB"].n_tokens == 4
+    assert out["srcA"].kl_nano > 0 and out["srcB"].kl_nano > 0
+    # hand-check srcA: p(a)=.5 ln(.5/(5/8)) + p(b)=.5 ln(.5/(3/8))
+    exp_a = int(math.floor(0.5 * math.log(0.5 / (5 / 8)) * 1e9)) + int(
+        math.floor(0.5 * math.log(0.5 / (3 / 8)) * 1e9)
+    )
+    assert out["srcA"].kl_nano == exp_a
+
+
+def test_shingle_contamination_planted_copy(spark, tmp_path):
+    """A test doc that copies 8 consecutive tokens from a train doc is
+    contaminated; a disjoint test doc is not."""
+    reg_fn = REG["shingle_contamination_audit"][0]
+    # find doc ids landing in the test split (md5-derived % 10 == 0)
+    import hashlib
+
+    def is_test(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        return h % 10 == 0
+
+    test_ids = [i for i in range(1, 200) if is_test(i)][:2]
+    train_ids = [i for i in range(1, 200) if not is_test(i)][:2]
+    train_text = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    copied = "x0 t1 t2 t3 t4 t5 t6 t7 t8 y0"  # shares the t1..t8 shingle
+    clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    rows = [
+        (train_ids[0], train_text, "xx", "src0", len(train_text)),
+        (train_ids[1], "u1 u2 u3 u4 u5 u6 u7 u8", "xx", "src0", 20),
+        (test_ids[0], copied, "xx", "srcT", len(copied)),
+        (test_ids[1], clean, "xx", "srcC", len(clean)),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in reg_fn(spark, str(tmp_path)).collect()}
+    assert out["srcT"].n_contaminated == 1
+    assert out["srcT"].contamination_micro == 1_000_000
+    assert out["srcC"].n_contaminated == 0
+
+
+def test_weighted_sample_prefers_no_doc_below_k(spark, tmp_path):
+    """With n docs <= k the sample is everything; keys are negative
+    (ln u < 0) and heavier docs have keys closer to 0 on average."""
+    rows = [
+        (i, " ".join(["w"] * (5 if i % 2 else 50)), "xx", "s", 10)
+        for i in range(10)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = REG["weighted_sample_es_topk"][0](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r.es_key_nano < 0 for r in out)
+    heavy = [r.es_key_nano for r in out if r.w == 50]
+    light = [r.es_key_nano for r in out if r.w == 5]
+    assert sum(heavy) / len(heavy) > sum(light) / len(light)
+
+
+# ------------------------------------------------------------------ ext134
+
+
+def test_psi_identical_halves_zero(spark, tmp_path):
+    """Two calendar halves with identical value distributions give PSI
+    terms of exactly 0 in every bin (p == q after smoothing)."""
+    rows = []
+    eid = 0
+    for half in range(2):
+        for i in range(50):
+            eid += 1
+            rows.append(
+                (eid, T0 + dt.timedelta(days=half * 10, minutes=i), i,
+                 "view", float(i % 10), "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    out = REG["psi_value_drift_halves"][0](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r.psi_term_nano == 0 for r in out)
+    assert all(r.n_first == r.n_second for r in out)
+
+
+def test_benford_digits_partition_counts(spark, tmp_path):
+    """Digit extraction: totals 1.00, 19.99, 100.00, 950.00 -> first
+    digits of cents 100, 1999, 10000, 95000 are 1,1,1,9."""
+    orders = [(i + 1, T0, float(v)) for i, v in
+              enumerate([1.00, 19.99, 100.00, 950.00])]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.digit: r for r in REG["benford_first_digit_audit"][0](
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 9
+    assert out[1].n_obs == 3 and out[9].n_obs == 1
+    assert sum(r.n_obs for r in out.values()) == 4
+    # Benford expectation for digit 1 with n=4: 4*log10(2)
+    assert out[1].expected_micro == int(
+        math.floor(4 * math.log10(2) * 1e6)
+    )
+
+
+def test_cochran_armitage_planted_trend(spark, tmp_path):
+    """Purchase rate rising with the dose bucket gives a positive z;
+    flat rate gives |z| ~ 0."""
+    rows = []
+    eid = 0
+    for dose in range(4):
+        for i in range(100):
+            eid += 1
+            rows.append(
+                (eid, T0 + dt.timedelta(hours=dose * 6, seconds=i), i,
+                 "purchase" if i < 10 * (dose + 1) else "view", 1.0, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    out = REG["cochran_armitage_hour_trend"][0](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out.n_total == 400 and out.k_total == 100
+    assert out.ca_z_micro > 3_000_000  # strongly positive trend
+
+
+def test_ks_identical_groups_zero(spark, tmp_path):
+    """Weekday and weekend with identical value distributions -> KS 0;
+    disjoint distributions -> KS 1e6."""
+    rows = []
+    eid = 0
+    # Monday (weekday) and Saturday (weekend), same values
+    for day, _wd in ((0, False), (5, True)):
+        for i in range(40):
+            eid += 1
+            rows.append(
+                (eid, T0 + dt.timedelta(days=day, minutes=i), i, "view",
+                 float(i % 8), "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    out = REG["ks_weekend_value_shift"][0](spark, str(tmp_path)).collect()[0]
+    assert out.n_weekday == 40 and out.n_weekend == 40
+    assert out.ks_micro == 0
+
+    rows2 = []
+    eid = 0
+    for day, lo in ((0, 0.0), (5, 1000.0)):
+        for i in range(40):
+            eid += 1
+            rows2.append(
+                (eid, T0 + dt.timedelta(days=day, minutes=i), i, "view",
+                 lo + i, "{}")
+            )
+    _write_events(spark, tmp_path, rows2)
+    out2 = REG["ks_weekend_value_shift"][0](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out2.ks_micro == 1_000_000  # fully separated distributions
+
+
+# ------------------------------------------------------------------ ext135
+
+
+def test_periodogram_constant_series_zero_power(spark, tmp_path):
+    """A constant hourly series has (near-)zero power at every period
+    except the floor-residue; a pure 24h square wave concentrates power
+    at period 24."""
+    rows = []
+    eid = 0
+    for h in range(24 * 7):
+        n = 20 if (h % 24) < 12 else 2  # 24h square wave
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, T0 + dt.timedelta(hours=h, seconds=i), i, "view",
+                 1.0, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    out = {r.period: r for r in REG["periodogram_fixed_periods"][0](
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {24, 12, 8, 168}
+    power = {
+        T: out[T].sa_milli ** 2 + out[T].sb_milli ** 2 for T in out
+    }
+    # square wave at 50% duty: the 24h fundamental dominates; finite
+    # sampling leaks a little into the harmonics, so 5x not 10x
+    assert power[24] == max(power.values())
+    assert power[24] > 5 * power[12]
+    assert power[24] > 5 * power[8]
+
+
+def test_kaplan_meier_all_convert_day_one(spark, tmp_path):
+    """Everyone signs up day 0 and purchases day 1: S(0)=1e6 (no day-0
+    events), S(1)=0 (all convert at t=1)."""
+    rows = []
+    eid = 0
+    for u in range(10):
+        eid += 1
+        rows.append((eid, T0, u, "signup", 1.0, "{}"))
+        eid += 1
+        rows.append(
+            (eid, T0 + dt.timedelta(days=1), u, "purchase", 1.0, "{}")
+        )
+    _write_events(spark, tmp_path, rows)
+    out = {r.day: r for r in REG["kaplan_meier_signup_purchase"][0](
+        spark, str(tmp_path)).collect()}
+    assert out[0].n_risk == 10 and out[0].d_events == 0
+    assert out[0].km_survival_micro == 1_000_000
+    assert out[1].n_risk == 10 and out[1].d_events == 10
+    assert out[1].km_survival_micro == 0
+
+
+def test_transition_entropy_deterministic_chain_zero(spark, tmp_path):
+    """A user who always does view->click->view->click has zero
+    conditional entropy in both states."""
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i + 1, T0 + dt.timedelta(minutes=i), 1,
+             "view" if i % 2 == 0 else "click", 1.0, "{}")
+        )
+    _write_events(spark, tmp_path, rows)
+    out = {r.state: r for r in REG["transition_entropy_by_state"][0](
+        spark, str(tmp_path)).collect()}
+    assert out["view"].entropy_nano == 0
+    assert out["click"].entropy_nano == 0
+    assert out["view"].n_next_states == 1
+
+
+# ------------------------------------------------------------------ ext136
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def test_db_index_separated_clusters(spark, tmp_path):
+    """Two tight, far-apart clusters: scatter tiny vs separation, so the
+    worst ratio is small; mixing a far point into a label blows its
+    scatter up."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.01, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 9.0, 0.0], 1),
+        (3, [0.0, 0.0, 9.0, 0.01], 1),
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+    out = {r.label: r for r in REG["label_centroid_db_index"][0](
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    # scatter ~5e3 milli (0.005 * 1e6 quant / 2) vs separation ~9e9
+    assert out[0].worst_ratio_micro < 10_000  # ratio << 1 in micro
+    assert out[1].worst_ratio_micro < 10_000
+
+
+def test_centroid_confusion_planted_flip(spark, tmp_path):
+    """A vector labeled 1 sitting inside cluster 0 is assigned to
+    centroid 0 — one off-diagonal confusion cell."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.0], 0),
+        (2, [1.01, 0.0], 0),
+        (3, [0.0, 5.0], 1),
+        (4, [0.0, 5.1], 1),
+        (5, [1.0, 0.01], 1),  # planted: labeled 1, lives in cluster 0
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+    out = {(r.label, r.nearest_label): r.n_vecs
+           for r in REG["centroid_label_confusion"][0](
+               spark, str(tmp_path)).collect()}
+    assert out[(0, 0)] == 3
+    assert out[(1, 0)] == 1  # the planted flip
+    assert out[(1, 1)] == 2
