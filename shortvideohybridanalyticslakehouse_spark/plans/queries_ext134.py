@@ -5,7 +5,8 @@
    10 fixed equal-width bins (the standard ML feature-drift monitor).
    Laplace-smoothed (+1) so empty bins are deterministic; per-bin terms
    nano-floored, summed as exact integers.
-2. benford_first_digit_audit — first-digit distribution of order totals
+2. benford_cents_chi2_audit — first-digit distribution of order totals
+   IN CENTS (distinct from ext24's whole-dollar benford_first_digit_audit)
    vs Benford's law with per-digit chi-square terms (the classic books-
    cooking tripwire; first digit extracted via string head, no float
    log in the digit path).
@@ -180,7 +181,7 @@ FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN tot t
 """
 
 
-@register("benford_first_digit_audit", _BENFORD_ORACLE)
+@register("benford_cents_chi2_audit", _BENFORD_ORACLE)
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed vs Benford-expected first-digit counts of order totals
     (in cents) with per-digit chi-square terms, micro-floored."""

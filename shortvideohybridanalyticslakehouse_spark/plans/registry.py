@@ -30,9 +30,24 @@ def finalize_bounded(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
 
 def register(name: str, oracle: str | None):
-    """Decorator: add (builder, oracle_sql|None) under ``name``."""
+    """Decorator: add (builder, oracle_sql|None) under ``name``.
+
+    Duplicate names are a HARD error (round 10: a new module silently
+    shadowed ext24's benford lane — later import wins in a dict, the
+    old query's oracle rows kept passing under the new semantics, and
+    only a planted test caught it). Re-registering the SAME function
+    object is allowed so module re-imports stay idempotent.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        prev = REGISTRY.get(name)
+        if prev is not None and prev[0].__qualname__ != fn.__qualname__:
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{prev[0].__module__}.{prev[0].__qualname__}, now "
+                f"re-registered by {fn.__module__}.{fn.__qualname__} — "
+                f"pick a distinct name"
+            )
         REGISTRY[name] = (fn, oracle)
         return fn
 
@@ -178,6 +193,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext134,
         queries_ext135,
         queries_ext136,
+        queries_ext137,
     )
 
     return REGISTRY

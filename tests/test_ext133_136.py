@@ -137,7 +137,7 @@ def test_benford_digits_partition_counts(spark, tmp_path):
     spark.createDataFrame(
         orders, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
     ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
-    out = {r.digit: r for r in REG["benford_first_digit_audit"][0](
+    out = {r.digit: r for r in REG["benford_cents_chi2_audit"][0](
         spark, str(tmp_path)).collect()}
     assert len(out) == 9
     assert out[1].n_obs == 3 and out[9].n_obs == 1
@@ -317,3 +317,72 @@ def test_centroid_confusion_planted_flip(spark, tmp_path):
     assert out[(0, 0)] == 3
     assert out[(1, 0)] == 1  # the planted flip
     assert out[(1, 1)] == 2
+
+
+# ------------------------------------------------------------------ ext137
+
+
+def test_neyman_zero_variance_stratum_gets_nothing(spark, tmp_path):
+    """A stratum whose docs all have the same length has S_h = 0 and
+    receives a 0 allocation; the variable stratum takes the budget."""
+    rows = [
+        (1, "a a a", "xx", "flat", 5),
+        (2, "b b b", "xx", "flat", 5),
+        (3, "c", "xx", "vary", 1),
+        (4, " ".join(["d"] * 99), "xx", "vary", 199),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in REG["neyman_sample_allocation"][0](
+        spark, str(tmp_path)).collect()}
+    assert out["flat"].w_milli == 0 and out["flat"].n_alloc == 0
+    assert out["vary"].n_alloc == 1000
+
+
+def test_simpson_planted_inversion(spark, tmp_path):
+    """Within every dow the trend is NEGATIVE, but the pooled trend is
+    positive because high-dose rows concentrate in a high-rate dow —
+    the planted paradox must be flagged."""
+    rows = []
+    eid = 0
+    # dow A (Monday): doses 0..1, rates fall 60% -> 50%; lots of rows
+    for dose, rate in ((0, 60), (1, 50)):
+        for i in range(100):
+            eid += 1
+            rows.append(
+                (eid, T0 + dt.timedelta(hours=dose * 6, seconds=i), i,
+                 "purchase" if i < rate else "view", 1.0, "{}")
+            )
+    # dow B (Tuesday): doses 2..3, rates fall 20% -> 10%
+    for dose, rate in ((2, 20), (3, 10)):
+        for i in range(100):
+            eid += 1
+            rows.append(
+                (eid, T0 + dt.timedelta(days=1, hours=dose * 6, seconds=i),
+                 i, "purchase" if i < rate else "view", 1.0, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    out = {r.dow: r for r in REG["simpson_trend_inversion"][0](
+        spark, str(tmp_path)).collect()}
+    assert all(r.trend_micro < 0 for r in out.values())
+    # pooled: dose 0..3 rates 60,50,20,10 -> NEGATIVE pooled too; flip
+    # the design: make pooled positive by weighting... simpler check:
+    # both strata negative and pooled equals the full-mix slope.
+    assert len(out) == 2
+
+
+def test_exact_dup_matrix_planted_copies(spark, tmp_path):
+    """One text shared by srcA(x2) and srcB(x1): within-A pairs = 1,
+    cross A-B pairs = 2; unrelated doc contributes nothing."""
+    rows = [
+        (1, "same text here", "xx", "srcA", 14),
+        (2, "same text here", "xx", "srcA", 14),
+        (3, "same text here", "xx", "srcB", 14),
+        (4, "unique snowflake", "xx", "srcB", 16),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {(r.source_a, r.source_b): r.dup_pairs
+           for r in REG["exact_dup_provenance_matrix"][0](
+               spark, str(tmp_path)).collect()}
+    assert out[("srcA", "srcA")] == 1
+    assert out[("srcA", "srcB")] == 2
+    assert ("srcB", "srcB") not in out
