@@ -89,6 +89,12 @@ DEFAULT_TARGETS = [
     "hits_hubs_authorities",
     "brier_decomposition",
     "croston_intermittent_forecast",
+    # round-10 families
+    "kl_source_drift",
+    "ks_weekend_value_shift",
+    "kaplan_meier_signup_purchase",
+    "weighted_sample_es_topk",
+    "knn_label_noise_audit",
 ]
 
 _SORT_SWAP = {
@@ -575,16 +581,32 @@ def main() -> int:
             report[name] = {"status": "insensitive", "tried": tried}
             insensitive.append(name)
 
-    n_killed = sum(1 for r in report.values() if r["status"] == "killed")
+    # MERGE into the artifact (round 10: a subset rerun clobbered the
+    # 36-target record and the guard_mutants section — subset runs must
+    # refresh their own rows only, exactly like shuffle_gate --record)
+    doc: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            doc = {}
+    merged = doc.get("queries", {})
+    merged.update(report)
+    insensitive_all = sorted(
+        q for q, r in merged.items() if r.get("status") == "insensitive"
+    )
+    n_killed = sum(1 for r in merged.values() if r["status"] == "killed")
     summary = {
         "sf_dir": sf_dir,
-        "targets": len(report),
+        "targets": len(merged),
         "killed": n_killed,
-        "insensitive": insensitive,
-        "kill_rate": round(n_killed / max(1, len(report)), 3),
+        "insensitive": insensitive_all,
+        "kill_rate": round(n_killed / max(1, len(merged)), 3),
     }
+    doc.update({"summary": summary, "queries": merged})
     with open(out_path, "w") as fh:
-        json.dump({"summary": summary, "queries": report}, fh, indent=1)
+        json.dump(doc, fh, indent=1)
     print("SUMMARY:", json.dumps(summary))
     spark.stop()
     return 0 if not insensitive else 1
