@@ -212,9 +212,14 @@ def q_shingle_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = sh.filter(~is_test).select("shingle").distinct()
     test_sh = sh.filter(is_test)
     test_docs = test_sh.select("doc_id", "source").distinct()
-    # both sides grow with the corpus: shuffle_hash, never broadcast
+    # both sides grow with the corpus — and unlike the vocab COUNT
+    # frames (tiny per partition), the distinct-shingle index is a
+    # HIGH-VOLUME build side: the 10x Zipf probe OOM'd the spill-less
+    # ShuffledHashJoin hash map at 36M shingles. Pin sort-merge: both
+    # sides spill gracefully and the pin also forecloses the
+    # misestimated-broadcast failure mode (r9 probe).
     contaminated = (
-        test_sh.join(train_sh.hint("shuffle_hash"), "shingle")
+        test_sh.join(train_sh.hint("merge"), "shingle")
         .select("doc_id")
         .distinct()
         .withColumn("_hit", F.lit(1))

@@ -51,11 +51,18 @@ from pyspark.sql import functions as F
 from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
 from shortvideohybridanalyticslakehouse_spark.session import get_spark
 
-QUERIES = [
-    "doc_unigram_logprob",
-    "perplexity_bucket_mixture",
-    "bigram_lm_surprise",
-]
+# query -> the pinned join node its plan must carry. Count-frame build
+# sides (1 tiny row per key) pin shuffle_hash; the HIGH-VOLUME
+# distinct-shingle index pins sort-merge — this probe's 10x run OOM'd
+# the spill-less ShuffledHashJoin hash map on 36M shingles, the
+# measured reason for the merge pin.
+QUERIES = {
+    "doc_unigram_logprob": "ShuffledHashJoinExec",
+    "perplexity_bucket_mixture": "ShuffledHashJoinExec",
+    "bigram_lm_surprise": "ShuffledHashJoinExec",
+    "kl_source_drift": "ShuffledHashJoinExec",
+    "shingle_contamination_audit": "SortMergeJoinExec",
+}
 TOKENS_PER_DOC = 80
 PARTS = 32
 
@@ -69,8 +76,16 @@ def write_zipf_corpus(spark, out_dir: str, n_docs: int, vocab: int) -> None:
         F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1))
     ).alias("pos")
     occ = docs.select("doc_id", pos)
+    # 2% of docs copy their predecessor verbatim (seed = donor id) so
+    # shingle-overlap lanes have real join work — otherwise AQE's
+    # empty-relation propagation erases the join entirely and the probe
+    # asserts against a vacuous plan
+    seed = F.when(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") > 0),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
     u = (
-        F.abs(F.xxhash64("doc_id", F.col("pos"), F.lit("zipf")))
+        F.abs(F.xxhash64(seed, F.col("pos"), F.lit("zipf")))
         % F.lit(1_000_000)
     ).cast("double") / 1_000_000.0
     rank = F.floor(F.pow(F.lit(float(vocab)), u)).cast("bigint")
@@ -192,16 +207,18 @@ def main() -> int:
             wall = round(time.time() - t0, 2)
             acc: dict = {}
             walk_join_metrics(df._jdf.queryExecution().executedPlan(), acc)
-            shj = "ShuffledHashJoinExec" in acc.get("join_nodes", [])
+            expected = QUERIES[qname]
+            pinned_ok = expected in acc.get("join_nodes", [])
             qrow = {
                 "wall_sec": wall,
                 "join_nodes": sorted(set(acc.get("join_nodes", []))),
-                "shuffled_hash_join": shj,
+                "expected_join": expected,
+                "pinned_join_present": pinned_ok,
                 "build_data_size": acc.get("build_data_size", 0),
                 "max_broadcast_bytes": acc.get("max_broadcast", 0),
             }
             frow["queries"][qname] = qrow
-            if not shj:
+            if not pinned_ok:
                 ok = False
             print(f"{factor}x {qname}: {qrow}")
         bal = frow["build_side_balance"]["balance_ratio"]
