@@ -194,6 +194,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext135,
         queries_ext136,
         queries_ext137,
+        queries_ext138,
     )
 
     return REGISTRY
