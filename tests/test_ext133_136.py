@@ -386,3 +386,58 @@ def test_exact_dup_matrix_planted_copies(spark, tmp_path):
     assert out[("srcA", "srcA")] == 1
     assert out[("srcA", "srcB")] == 2
     assert ("srcB", "srcB") not in out
+
+
+# ------------------------------------------------------------------ ext138
+
+
+def test_dup_histogram_planted_groups(spark, tmp_path):
+    """3 copies of A + 2 copies of B + 1 unique -> sizes {3:1, 2:1, 1:1}."""
+    rows = [
+        (1, "copy a", "xx", "s", 6), (2, "copy a", "xx", "s", 6),
+        (3, "copy a", "xx", "s", 6), (4, "copy b", "xx", "s", 6),
+        (5, "copy b", "xx", "s", 6), (6, "solo", "xx", "s", 4),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r.group_size: r for r in REG["exact_dup_cluster_histogram"][0](
+        spark, str(tmp_path)).collect()}
+    assert out[3].n_groups == 1 and out[3].n_docs == 3
+    assert out[2].n_groups == 1 and out[2].n_docs == 2
+    assert out[1].n_groups == 1 and out[1].n_docs == 1
+
+
+def test_fano_constant_rate_below_bursty(spark, tmp_path):
+    """One event per minute (Fano -> (1-mean) < 1e6 scale) vs all events
+    in one minute (Fano >> 1e6): burstiness orders correctly."""
+    rows = []
+    eid = 0
+    for m in range(60):
+        eid += 1
+        rows.append((eid, T0 + dt.timedelta(minutes=m), 1, "steady", 1.0,
+                     "{}"))
+    for i in range(60):
+        eid += 1
+        rows.append((eid, T0 + dt.timedelta(seconds=i), 2, "bursty", 1.0,
+                     "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in REG["fano_burstiness_by_type"][0](
+        spark, str(tmp_path)).collect()}
+    assert out["steady"].fano_micro < 1_000_000  # sub-Poisson
+    assert out["bursty"].fano_micro > 10_000_000  # one-minute spike
+    assert out["steady"].n_minutes == 60
+
+
+def test_doclen_bands_hand_ranks(spark, tmp_path):
+    """10 docs of lengths 1..10 in one source: ceil-rank P10=1, P50=5,
+    P90=9."""
+    rows = [
+        (i, " ".join(["w"] * i), "xx", "s", i * 2) for i in range(1, 11)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = REG["doclen_percentile_bands_by_source"][0](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out.n_docs == 10
+    assert out.p10_tokens == 1
+    assert out.p50_tokens == 5
+    assert out.p90_tokens == 9
