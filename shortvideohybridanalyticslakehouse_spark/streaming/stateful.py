@@ -844,3 +844,81 @@ def croston_incremental(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI streaming twin (round 10): the ext134 drift monitor as per-metric
+# incremental state — drift monitoring IS a streaming problem; the batch
+# lane is the closed-series replay
+# ---------------------------------------------------------------------------
+
+PSI_OUTPUT_SCHEMA = (
+    "metric string, n_ref bigint, n_cur bigint, psi_nano bigint,"
+    " n_batches_dropped bigint"
+)
+PSI_STATE_SCHEMA = "cur array<bigint>, last bigint, skipped bigint"
+
+
+def psi_incremental(
+    bin_counts: DataFrame, ref_counts: list[int]
+) -> DataFrame:
+    """Streaming twin of psi_value_drift_halves (queries_ext134): the
+    REFERENCE histogram is frozen (the batch lane's first calendar
+    half, collected once); the CURRENT histogram accumulates as
+    per-metric state from pre-binned micro-batch rows (metric,
+    seq, bin, n). Emits the full Laplace-smoothed PSI after every
+    batch — the live drift monitor whose final value is bit-identical
+    to the batch query folded over the same closed series, because both
+    compute each per-bin term from the identical integer counts with
+    the identical double expression, nano-floored before the exact sum
+    (tests/test_stream_psi_twin.py).
+
+    Delivery contract as the SPRT/Croston twins: rows arrive in
+    ``seq`` order per metric; replays at or below the high-water mark
+    are dropped AND counted (``n_batches_dropped``)."""
+    import math
+
+    nbins = len(ref_counts)
+    n_ref = sum(ref_counts)
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur, last, skipped = state.get
+            cur = list(cur)
+            last, skipped = int(last), int(skipped)
+        else:
+            cur, last, skipped = [0] * nbins, -1, 0
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        for seq, grp in rows.sort_values("seq").groupby("seq", sort=True):
+            if int(seq) <= last:
+                skipped += 1  # replayed batch: already folded
+                continue
+            for r in grp.itertuples(index=False):
+                cur[int(r.bin)] += int(r.n)
+            last = int(seq)
+        state.update((cur, last, skipped))
+        n_cur = sum(cur)
+        psi = 0
+        for b in range(nbins):
+            p = (ref_counts[b] + 1) / (n_ref + nbins)
+            q = (cur[b] + 1) / (n_cur + nbins)
+            psi += math.floor((p - q) * math.log(p / q) * 1e9)
+        yield pd.DataFrame(
+            {
+                "metric": [key[0]],
+                "n_ref": [n_ref],
+                "n_cur": [n_cur],
+                "psi_nano": [psi],
+                "n_batches_dropped": [skipped],
+            }
+        )
+
+    return bin_counts.groupBy("metric").applyInPandasWithState(
+        fn,
+        PSI_OUTPUT_SCHEMA,
+        PSI_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
