@@ -195,6 +195,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext136,
         queries_ext137,
         queries_ext138,
+        queries_ext139,
     )
 
     return REGISTRY

@@ -441,3 +441,59 @@ def test_doclen_bands_hand_ranks(spark, tmp_path):
     assert out.p10_tokens == 1
     assert out.p50_tokens == 5
     assert out.p90_tokens == 9
+
+
+# ------------------------------------------------------------------ ext139
+
+
+def test_ttr_hapax_hand_counts(spark, tmp_path):
+    """'a a b c' -> 4 tokens, 3 types, ttr 750000, 2 hapax (b, c)."""
+    _write_docs(spark, tmp_path, [(1, "a a b c", "xx", "s", 7)])
+    out = REG["ttr_hapax_profile"][0](spark, str(tmp_path)).collect()[0]
+    assert out.n_tokens == 4 and out.n_types == 3
+    assert out.ttr_micro == 750_000
+    assert out.n_hapax == 2
+    assert out.hapax_share_micro == 666_666
+
+
+def test_cvar_worst_tail_mean(spark, tmp_path):
+    """100 values 1..100: 5% tail = top 5 (96..100), mean 98.00."""
+    rows = [
+        (i, T0 + dt.timedelta(minutes=i), i, "view", float(i), "{}")
+        for i in range(1, 101)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = REG["cvar_expected_shortfall"][0](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out.n_events == 100 and out.n_tail == 5
+    assert out.tail_cents_sum == (96 + 97 + 98 + 99 + 100) * 100
+    assert out.cvar_cents_micro == 9800 * 1_000_000
+
+
+def test_tukey_planted_outlier(spark, tmp_path):
+    """99 values in [10, 20] plus one at 1000: exactly one outlier."""
+    rows = [
+        (i, T0 + dt.timedelta(minutes=i), i, "view",
+         10.0 + (i % 11), "{}")
+        for i in range(1, 100)
+    ] + [(100, T0, 1, "view", 1000.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    out = REG["tukey_outlier_rate"][0](spark, str(tmp_path)).collect()[0]
+    assert out.n_events == 100
+    assert out.n_outliers == 1
+    assert out.outlier_micro == 10_000
+
+
+def test_bigram_entropy_deterministic_text_zero(spark, tmp_path):
+    """'a b a b a b' — every token fully determines the next: H = 0.
+    'a b a c' — after 'a', b/c are 50/50: H > 0."""
+    _write_docs(spark, tmp_path, [
+        (1, "a b a b a b", "xx", "det", 11),
+        (2, "a b a c", "xx", "mix", 7),
+    ])
+    out = {r.source: r for r in REG["bigram_conditional_entropy"][0](
+        spark, str(tmp_path)).collect()}
+    assert out["det"].cond_entropy_nano == 0
+    assert out["mix"].cond_entropy_nano > 0
+    assert out["det"].n_bigrams == 5
