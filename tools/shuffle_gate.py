@@ -117,6 +117,13 @@ BOUNDED_BUILD_ALLOWLIST: dict[str, str] = {
         "same DSIR vocab frame as dsir_importance_topk; covered by the "
         "same 100x probe row"
     ),
+    "tukey_outlier_rate": (
+        "build side is the per-event_type quartile frame over the "
+        "closed alphabet (5 rows) — the 12.58 MB dataSize is the "
+        "HashedRelation PAGE ALLOCATION floor, not data, and sits 16 "
+        "bytes under the watch; declared so a re-measure cannot flap "
+        "the gate"
+    ),
 }
 
 
