@@ -64,3 +64,45 @@ def contamination_firewall(
         .select("doc_id", "source")
     )
     return flagged.dropDuplicates(["doc_id"])
+
+
+def write_shingle_index_bucketed(
+    train_docs, table_name: str, n_buckets: int = 16, n: int = SHINGLE_N
+) -> None:
+    """Persist the train shingle index as a BUCKETED, sorted table —
+    the 100 TB layout for the firewall: bucketed+sorted by ``shingle``,
+    so every per-micro-batch probe joins it WITHOUT shuffling or
+    re-sorting the (huge, frozen) index side. Spark plans the join as a
+    SortMergeJoin whose index leg has no Exchange and no Sort — the
+    layout provides both (asserted in
+    tests/test_stream_contamination_twin.py)."""
+    from shortvideohybridanalyticslakehouse_spark.plans.ddl import (
+        write_bucketed_sorted_table,
+    )
+
+    # sort_cols excludes the key — the helper emits sortBy(key, *cols)
+    write_bucketed_sorted_table(
+        train_shingle_index(train_docs, n),
+        table_name,
+        "shingle",
+        [],
+        n_buckets=n_buckets,
+    )
+
+
+def contamination_firewall_bucketed(
+    stream_docs: DataFrame, spark, table_name: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """contamination_firewall against the bucketed on-disk index: the
+    static leg reads the bucketed table (exchange-free, pre-sorted);
+    only the micro-batch's shingles shuffle."""
+    index = spark.table(table_name)
+    flagged = (
+        doc_shingles(stream_docs, n)
+        # merge pin: the index is a volume build side (the measured OOM
+        # class from tools/SKEW_PROBE_SHJ.json) and the bucketed layout
+        # makes its SMJ leg exchange- and sort-free
+        .join(index.hint("merge"), "shingle")
+        .select("doc_id", "source")
+    )
+    return flagged.dropDuplicates(["doc_id"])

@@ -13,7 +13,10 @@ import time
 from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
 from shortvideohybridanalyticslakehouse_spark.streaming.contamination import (
     contamination_firewall,
+    contamination_firewall_bucketed,
+    doc_shingles,
     train_shingle_index,
+    write_shingle_index_bucketed,
 )
 
 
@@ -97,3 +100,55 @@ def test_stream_firewall_equals_batch_audit(spark, tmp_path):
     # twin agreement with the batch audit's per-source counts
     for srcname, n in per_source.items():
         assert batch[srcname].n_contaminated == n
+
+
+def test_bucketed_index_leg_is_exchange_and_sort_free(spark, tmp_path):
+    """The 100 TB layout: the persisted shingle index is bucketed+sorted
+    by shingle, so the SMJ's index leg plans with NO Exchange and NO
+    Sort — the layout provides both; only the probe side shuffles. Also
+    the bucketed firewall flags the same docs as the in-memory one."""
+    test_ids, train_ids = [10, 20], [1, 2]
+    rows = [
+        (train_ids[0], "t1 t2 t3 t4 t5 t6 t7 t8 t9", "xx", "src0", 30),
+        (train_ids[1], "u1 u2 u3 u4 u5 u6 u7 u8", "xx", "src0", 20),
+        (test_ids[0], "z0 t2 t3 t4 t5 t6 t7 t8 t9", "xx", "srcT", 30),
+        (test_ids[1], "c1 c2 c3 c4 c5 c6 c7 c8", "xx", "srcC", 20),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    table = "contamination_shingle_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_shingle_index_bucketed(
+            docs.filter(~docs.doc_id.isin(test_ids)), table, n_buckets=4
+        )
+        probe = docs.filter(docs.doc_id.isin(test_ids))
+        # batch-mode plan of the same join the firewall runs per batch
+        joined = doc_shingles(probe).join(
+            spark.table(table).hint("merge"), "shingle"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # index leg: the subtree under the table scan must have neither
+        # Exchange nor Sort — split the plan at the bucketed FileScan
+        idx_leg = [
+            ln for ln in plan.splitlines()
+            if "contamination_shingle_index" in ln
+        ]
+        assert idx_leg, "bucketed table scan missing from the plan"
+        assert "SelectedBucketsCount" in plan  # bucket-aware scan
+        # exactly ONE Exchange in the whole join plan (the probe side);
+        # the index side contributes none
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan
+        # and exactly one Sort: the probe side (index pre-sorted on disk)
+        n_sorts = plan.count("+- Sort ")
+        assert n_sorts == 1, plan
+
+        flagged = contamination_firewall_bucketed(probe, spark, table)
+        got = {r.doc_id for r in flagged.collect()}
+        assert got == {test_ids[0]}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
