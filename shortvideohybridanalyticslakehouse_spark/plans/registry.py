@@ -196,6 +196,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext137,
         queries_ext138,
         queries_ext139,
+        queries_ext140,
     )
 
     return REGISTRY

@@ -497,3 +497,38 @@ def test_bigram_entropy_deterministic_text_zero(spark, tmp_path):
     assert out["det"].cond_entropy_nano == 0
     assert out["mix"].cond_entropy_nano > 0
     assert out["det"].n_bigrams == 5
+
+
+# ------------------------------------------------------------------ ext140
+
+
+def test_novelty_planted_recycle(spark, tmp_path):
+    """Doc 2 copies doc 1's 8-gram: all its shingles recycled; doc 1's
+    are fresh (first occurrence)."""
+    base = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, base, "xx", "fresh", 20),
+        (2, base, "xx", "copy", 20),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "xx", "fresh", 20),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in REG["shingle_temporal_novelty"][0](
+        spark, str(tmp_path)).collect()}
+    assert out["copy"].recycled_micro == 1_000_000
+    assert out["fresh"].n_recycled == 0
+
+
+def test_hhi_uniform_vs_concentrated(spark, tmp_path):
+    """Uniform 4-type source: HHI = 1/4, effective types 4; single-type
+    source: HHI = 1, effective types 1."""
+    rows = [
+        (1, "a b c d", "xx", "uni", 7),
+        (2, "z z z z", "xx", "conc", 7),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in REG["source_token_hhi"][0](
+        spark, str(tmp_path)).collect()}
+    assert out["uni"].hhi_nano == 250_000_000
+    assert out["uni"].effective_types == 4
+    assert out["conc"].hhi_nano == 1_000_000_000
+    assert out["conc"].effective_types == 1
