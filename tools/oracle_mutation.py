@@ -95,6 +95,8 @@ DEFAULT_TARGETS = [
     "kaplan_meier_signup_purchase",
     "weighted_sample_es_topk",
     "knn_label_noise_audit",
+    "shingle_temporal_novelty",
+    "cvar_expected_shortfall",
 ]
 
 _SORT_SWAP = {
