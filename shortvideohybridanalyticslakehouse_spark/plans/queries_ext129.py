@@ -154,6 +154,46 @@ FROM maj GROUP BY 1
 """
 
 
+def _bucket_top5(pdf, block_cap: int = 4096):
+    """Per-LSH-bucket local top-5 neighbors via a BLOCK-chunked int64
+    GEMM. A degenerate/hot band bucket would make the full m x m
+    similarity matrix quadratic in bucket size (ADVICE r10): row blocks
+    against the bucket matrix keep per-task extra memory at
+    O(block x m) (~64 MB cap) while computing the identical per-row
+    top-5 (total order sim DESC, idb ASC via lexsort on (-sim, id))."""
+    import numpy as np  # noqa: PLC0415 — Arrow path only
+    import pandas as pd  # noqa: PLC0415
+
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("ida", "la", "idb", "lb", "sim")}
+        )
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+    k = min(_KNN_K, m - 1)
+    block = max(1, min(block_cap, (64 << 20) // (8 * m)))
+    rows = {"ida": [], "la": [], "idb": [], "lb": [], "sim": []}
+    idx_all = np.arange(m)
+    for lo in range(0, m, block):
+        hi = min(lo + block, m)
+        sims_blk = mat[lo:hi] @ mat.T
+        for i in range(lo, hi):
+            others = idx_all[idx_all != i]  # exclude self BEFORE the
+            # sort: negating a sentinel int64-min overflows and sorts
+            # self FIRST, silently shaving the 5th neighbor
+            s = sims_blk[i - lo][others]
+            order = others[np.lexsort((ids[others], -s))[:k]]
+            rows["ida"].extend([ids[i]] * len(order))
+            rows["la"].extend([labels[i]] * len(order))
+            rows["idb"].extend(ids[order])
+            rows["lb"].extend(labels[order])
+            rows["sim"].extend(sims_blk[i - lo][order])
+    return pd.DataFrame(rows).astype("int64")
+
+
 @register("knn_label_noise_audit", _KNN_ORACLE)
 def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label count of vectors whose 5-NN majority label disagrees
@@ -217,42 +257,13 @@ def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture) to O(n x bands x 5), and the 64-int dots run as one
     # numpy int64 GEMM per bucket instead of per-row HOF folds. The
     # oracle still scores the full candidate set — results identical.
-    import pandas as pd  # noqa: PLC0415 — Arrow path only
-    import numpy as np  # noqa: PLC0415
-
     out_schema = "ida long, la long, idb long, lb long, sim long"
 
-    def bucket_top5(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64")
-                 for c in ("ida", "la", "idb", "lb", "sim")}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        labels = pdf["label"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-        sims = mat @ mat.T
-        k = min(_KNN_K, m - 1)
-        # total order (sim DESC, idb ASC) via lexsort on (-sim, id)
-        rows = {"ida": [], "la": [], "idb": [], "lb": [], "sim": []}
-        idx_all = np.arange(m)
-        for i in range(m):
-            others = idx_all[idx_all != i]  # exclude self BEFORE the
-            # sort: negating a sentinel int64-min overflows and sorts
-            # self FIRST, silently shaving the 5th neighbor
-            s = sims[i][others]
-            order = others[np.lexsort((ids[others], -s))[:k]]
-            rows["ida"].extend([ids[i]] * len(order))
-            rows["la"].extend([labels[i]] * len(order))
-            rows["idb"].extend(ids[order])
-            rows["lb"].extend(labels[order])
-            rows["sim"].extend(sims[i][order])
-        return pd.DataFrame(rows).astype("int64")
-
+    # one-arg wrapper: applyInPandas passes (key, pdf) to TWO-parameter
+    # functions, which would bind the frame to block_cap
     sims = (
         banded.groupBy("bkey")
-        .applyInPandas(bucket_top5, out_schema)
+        .applyInPandas(lambda pdf: _bucket_top5(pdf), out_schema)
         # a pair sharing several bands emits several identical rows
         .dropDuplicates(["ida", "idb"])
     )

@@ -317,12 +317,15 @@ _RULE_ORACLE = (
 ), scored AS (
   SELECT d.ante, d.cons, d.co_sessions,
          ia.n_sess AS sessions_ante, ib.n_sess AS sessions_cons,
-         CAST(d.co_sessions * 1000000 // ia.n_sess AS BIGINT)
-           AS confidence_micro,
-         CAST(d.co_sessions * ns.n * 1000000
-              // (ia.n_sess * ib.n_sess) AS BIGINT) AS lift_micro,
-         CAST((d.co_sessions * ns.n - ia.n_sess * ib.n_sess) * 1000000
-              // (ns.n * ns.n) AS BIGINT) AS leverage_micro
+         CAST(CAST(d.co_sessions AS HUGEINT) * 1000000 // ia.n_sess
+              AS BIGINT) AS confidence_micro,
+         CAST(CAST(d.co_sessions AS HUGEINT) * ns.n * 1000000
+              // (CAST(ia.n_sess AS HUGEINT) * ib.n_sess) AS BIGINT)
+           AS lift_micro,
+         CAST((CAST(d.co_sessions AS HUGEINT) * ns.n
+               - CAST(ia.n_sess AS HUGEINT) * ib.n_sess) * 1000000
+              // (CAST(ns.n AS HUGEINT) * ns.n) AS BIGINT)
+           AS leverage_micro
   FROM directed d
   JOIN item_sessions ia ON ia.item = d.ante
   JOIN item_sessions ib ON ib.item = d.cons
@@ -380,16 +383,22 @@ def q_covis_rule_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "co_sessions",
             "sessions_ante",
             "sessions_cons",
+            # co*n*1e6 wraps in int64 once n_sessions is web-scale:
+            # DECIMAL(38,0) cross-products (oracle: HUGEINT) — exact at
+            # any SF; quotients are bounded so the BIGINT cast is safe
             F.expr(
-                "CAST(co_sessions * 1000000 DIV sessions_ante AS BIGINT)"
+                "CAST(CAST(co_sessions AS DECIMAL(38,0)) * 1000000"
+                " DIV sessions_ante AS BIGINT)"
             ).alias("confidence_micro"),
             F.expr(
-                "CAST(co_sessions * n * 1000000"
-                " DIV (sessions_ante * sessions_cons) AS BIGINT)"
+                "CAST(CAST(co_sessions AS DECIMAL(38,0)) * n * 1000000"
+                " DIV (CAST(sessions_ante AS DECIMAL(38,0))"
+                " * sessions_cons) AS BIGINT)"
             ).alias("lift_micro"),
             F.expr(
-                "CAST((co_sessions * n - sessions_ante * sessions_cons)"
-                " * 1000000 DIV (n * n) AS BIGINT)"
+                "CAST((CAST(co_sessions AS DECIMAL(38,0)) * n"
+                " - CAST(sessions_ante AS DECIMAL(38,0)) * sessions_cons)"
+                " * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
             ).alias("leverage_micro"),
         )
         .orderBy(F.desc("confidence_micro"), F.asc("ante"), F.asc("cons"))

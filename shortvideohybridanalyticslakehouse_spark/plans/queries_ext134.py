@@ -331,8 +331,9 @@ WITH ev AS (
   FROM counts
 ), scored AS (
   SELECT c.bin,
-         abs(c.cum_a * t.nb - c.cum_b * t.na) * 1000000
-           // (t.na * t.nb) AS d_micro
+         abs(CAST(c.cum_a AS HUGEINT) * t.nb
+             - CAST(c.cum_b AS HUGEINT) * t.na) * 1000000
+           // (CAST(t.na AS HUGEINT) * t.nb) AS d_micro
   FROM cum c CROSS JOIN tot t
 )
 SELECT t.na AS n_weekday, t.nb AS n_weekend,
@@ -400,9 +401,13 @@ def q_ks_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_g",
         "na",
         "nb",
+        # cum_a*nb wraps in int64 once both samples pass ~3e9 rows:
+        # DECIMAL(38,0) cross-products (oracle: HUGEINT), exact at any
+        # SF; d_micro <= 1e6 so the BIGINT cast is safe
         F.expr(
-            "CAST(abs(cum_a * nb - cum_b * na) * 1000000"
-            " DIV (na * nb) AS BIGINT)"
+            "CAST(abs(CAST(cum_a AS DECIMAL(38,0)) * nb"
+            " - CAST(cum_b AS DECIMAL(38,0)) * na) * 1000000"
+            " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
         ).alias("d_micro"),
     )
     best = F.broadcast(

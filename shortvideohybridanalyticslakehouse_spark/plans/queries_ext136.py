@@ -83,9 +83,14 @@ _DB_ORACLE = (
 ), ratios AS (
   SELECT si.label,
          sj.label AS other_label,
+         CASE WHEN CAST(floor(
+           sqrt(CAST({_duck_sqdist("ci.c", "cj.c")} AS DOUBLE)) * 1000.0
+         ) AS BIGINT) = 0
+         THEN CAST(9223372036854775807 AS BIGINT)
+         ELSE
          CAST((si.s_milli + sj.s_milli) * 1000000 // CAST(floor(
            sqrt(CAST({_duck_sqdist("ci.c", "cj.c")} AS DOUBLE)) * 1000.0
-         ) AS BIGINT) AS BIGINT) AS r_micro
+         ) AS BIGINT) AS BIGINT) END AS r_micro
   FROM s si JOIN s sj ON si.label <> sj.label
   JOIN cent ci ON ci.label = si.label
   JOIN cent cj ON cj.label = sj.label
@@ -186,7 +191,11 @@ def q_label_centroid_db_index(
     ).cast("bigint")
     # K x K label-pair matrix over the closed alphabet; pure integer
     # DIV (all operands positive, so Spark's truncation == DuckDB's
-    # floor //) — no double round-trip near 2^53
+    # floor //) — no double round-trip near 2^53. Two labels with
+    # IDENTICAL floor-averaged centroids give m_milli = 0: Spark DIV
+    # would silently yield NULL while DuckDB errors (ADVICE r10), so
+    # both engines emit an explicit int64-max sentinel ("infinitely
+    # bad separation") which max() then propagates deterministically.
     ratios = (
         si.join(F.broadcast(sj), F.col("label") != F.col("other_label"))
         .withColumn("m_milli", m_milli)
@@ -195,8 +204,10 @@ def q_label_centroid_db_index(
             "n_vecs",
             "s_milli",
             F.expr(
-                "CAST((s_milli + sj_milli) * CAST(1000000 AS BIGINT)"
-                " DIV m_milli AS BIGINT)"
+                "CASE WHEN m_milli = 0"
+                " THEN CAST(9223372036854775807 AS BIGINT)"
+                " ELSE CAST((s_milli + sj_milli) * CAST(1000000 AS BIGINT)"
+                " DIV m_milli AS BIGINT) END"
             ).alias("r_micro"),
         )
     )

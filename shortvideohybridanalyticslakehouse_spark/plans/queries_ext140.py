@@ -13,6 +13,13 @@
    robust cousin; a feed whose tokens concentrate on few types is
    boilerplate). HHI = sum (c/n)^2 computed EXACTLY as an integer
    cross-ratio: sum(c^2) * 1e9 // n^2 — no floats at all.
+   The wide products ride DECIMAL(38,0) on the Spark side and HUGEINT
+   in the oracle so neither engine wraps at 100-TB token counts (a
+   single token with >~3e9 occurrences overflows c*c in int64, and
+   sum(c^2)*1e9 wraps once sum(c^2) > ~9.2e9 — ADVICE r10 medium).
+   Final quotients are bounded (hhi_nano <= 1e9, effective_types <=
+   n_tokens, recycled_micro <= 1e6) so the closing BIGINT cast is
+   always exact; Spark DIV and DuckDB // both truncate toward zero.
 
 Plan shapes at 100 TB: novelty is two shingle-grain aggregations + one
 merge join on the shingle key; HHI is a token-count aggregation with
@@ -51,7 +58,8 @@ SELECT s.source,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
             AS BIGINT) AS n_recycled,
-       CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+       CAST(CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                 AS HUGEINT)
             * 1000000 // count(*) AS BIGINT) AS recycled_micro
 FROM sh s JOIN first_seen f ON f.shingle = s.shingle
 GROUP BY 1
@@ -103,7 +111,8 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shingles",
             "n_recycled",
             F.expr(
-                "CAST(n_recycled * 1000000 DIV n_shingles AS BIGINT)"
+                "CAST(CAST(n_recycled AS DECIMAL(38,0)) * 1000000"
+                " DIV n_shingles AS BIGINT)"
             ).alias("recycled_micro"),
         )
     )
@@ -121,9 +130,11 @@ WITH occ AS (
 SELECT source,
        CAST(sum(c) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_types,
-       CAST(sum(c * c) * 1000000000 // (sum(c) * sum(c)) AS BIGINT)
-         AS hhi_nano,
-       CAST(sum(c) * sum(c) // sum(c * c) AS BIGINT) AS effective_types
+       CAST(sum(CAST(c AS HUGEINT) * c) * 1000000000
+            // (CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT))
+            AS BIGINT) AS hhi_nano,
+       CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT)
+            // sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS effective_types
 FROM counts GROUP BY 1
 """
 
@@ -140,13 +151,30 @@ def q_source_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = occ.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    return counts.groupBy("source").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_types"),
-        F.expr(
-            "CAST(sum(c * c) * 1000000000 DIV (sum(c) * sum(c)) AS BIGINT)"
-        ).alias("hhi_nano"),
-        F.expr(
-            "CAST(sum(c) * sum(c) DIV sum(c * c) AS BIGINT)"
-        ).alias("effective_types"),
+    # c*c and the cross-products wrap in int64 at large corpora: ride
+    # DECIMAL(38,0) (oracle: HUGEINT) so the ratios stay exact at any SF
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+                "_sum_c2"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.expr(
+                "CAST(_sum_c2 * 1000000000"
+                " DIV (CAST(n_tokens AS DECIMAL(38,0))"
+                " * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("hhi_nano"),
+            F.expr(
+                "CAST(CAST(n_tokens AS DECIMAL(38,0))"
+                " * CAST(n_tokens AS DECIMAL(38,0))"
+                " DIV _sum_c2 AS BIGINT)"
+            ).alias("effective_types"),
+        )
     )

@@ -41,7 +41,14 @@ def register(name: str, oracle: str | None):
 
     def deco(fn: QueryFn) -> QueryFn:
         prev = REGISTRY.get(name)
-        if prev is not None and prev[0].__qualname__ != fn.__qualname__:
+        # Compare (module, qualname), not qualname alone: a same-named
+        # function in a DIFFERENT module (the likely copy-paste shape)
+        # must still trip the guard (ADVICE r10). Identical module +
+        # qualname keeps re-imports idempotent.
+        if prev is not None and (
+            prev[0].__module__,
+            prev[0].__qualname__,
+        ) != (fn.__module__, fn.__qualname__):
             raise ValueError(
                 f"duplicate query name {name!r}: already registered by "
                 f"{prev[0].__module__}.{prev[0].__qualname__}, now "

@@ -854,9 +854,11 @@ def croston_incremental(
 
 PSI_OUTPUT_SCHEMA = (
     "metric string, n_ref bigint, n_cur bigint, psi_nano bigint,"
-    " n_batches_dropped bigint"
+    " n_batches_dropped bigint, n_rows_bad bigint"
 )
-PSI_STATE_SCHEMA = "cur array<bigint>, last bigint, skipped bigint"
+PSI_STATE_SCHEMA = (
+    "cur array<bigint>, last bigint, skipped bigint, bad bigint"
+)
 
 
 def psi_incremental(
@@ -875,7 +877,11 @@ def psi_incremental(
 
     Delivery contract as the SPRT/Croston twins: rows arrive in
     ``seq`` order per metric; replays at or below the high-water mark
-    are dropped AND counted (``n_batches_dropped``)."""
+    are dropped AND counted (``n_batches_dropped``). A malformed row
+    whose bin falls outside [0, nbins) is likewise dropped AND counted
+    (``n_rows_bad``) rather than killing the query with an IndexError
+    (ADVICE r10) — same doctrine as late/replayed rows: never crash on
+    data, always account for what was ignored."""
     import math
 
     nbins = len(ref_counts)
@@ -885,20 +891,24 @@ def psi_incremental(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            cur, last, skipped = state.get
+            cur, last, skipped, bad = state.get
             cur = list(cur)
-            last, skipped = int(last), int(skipped)
+            last, skipped, bad = int(last), int(skipped), int(bad)
         else:
-            cur, last, skipped = [0] * nbins, -1, 0
+            cur, last, skipped, bad = [0] * nbins, -1, 0, 0
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         for seq, grp in rows.sort_values("seq").groupby("seq", sort=True):
             if int(seq) <= last:
                 skipped += 1  # replayed batch: already folded
                 continue
             for r in grp.itertuples(index=False):
-                cur[int(r.bin)] += int(r.n)
+                b = int(r.bin)
+                if 0 <= b < nbins:
+                    cur[b] += int(r.n)
+                else:
+                    bad += 1  # malformed bin: drop + count, don't crash
             last = int(seq)
-        state.update((cur, last, skipped))
+        state.update((cur, last, skipped, bad))
         n_cur = sum(cur)
         psi = 0
         for b in range(nbins):
@@ -912,6 +922,7 @@ def psi_incremental(
                 "n_cur": [n_cur],
                 "psi_nano": [psi],
                 "n_batches_dropped": [skipped],
+                "n_rows_bad": [bad],
             }
         )
 

@@ -473,3 +473,30 @@ def test_ljung_box_alternating_series(spark, tmp_path):
     r = REG["ljung_box_daily_q"][0](spark, str(tmp_path)).collect()[0]
     assert r.n_days == 24 and r.n_lags == 7
     assert r.q_micro > 50_000_000  # >> chi2_7 at any sane alpha
+
+
+def test_bucket_top5_block_chunking_equals_full_gemm():
+    """The block-chunked GEMM (ADVICE r10: cap per-task memory at
+    O(block x m)) must emit exactly the rows a single full-matrix pass
+    emits — forced multi-block via block_cap=1 vs one big block."""
+    import numpy as np
+    import pandas as pd
+
+    from shortvideohybridanalyticslakehouse_spark.plans.queries_ext129 import (
+        _bucket_top5,
+    )
+
+    rng = np.random.RandomState(7)
+    m, dim = 50, 8
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(m, dtype=np.int64),
+            "label": rng.randint(0, 3, m).astype(np.int64),
+            "v": [rng.randint(-100, 100, dim).astype(np.int64)
+                  for _ in range(m)],
+        }
+    )
+    full = _bucket_top5(pdf, block_cap=4096).reset_index(drop=True)
+    chunked = _bucket_top5(pdf.copy(), block_cap=1).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, chunked)
+    assert len(full) == m * 5

@@ -299,6 +299,35 @@ def test_db_index_separated_clusters(spark, tmp_path):
     assert out[1].worst_ratio_micro < 10_000
 
 
+def test_db_index_identical_centroids_sentinel(spark, tmp_path):
+    """Two labels with IDENTICAL (floor-averaged) centroids: m_milli = 0,
+    so the ratio is undefined — both engines must emit the int64-max
+    sentinel instead of Spark silently NULLing while DuckDB errors
+    (ADVICE r10). The oracle SQL is run on the same planted parquet to
+    prove the engines agree on the degenerate input."""
+    import duckdb
+
+    rows = [
+        (0, [1.0, 2.0], 0),
+        (1, [1.0, 2.0], 0),
+        (2, [1.0, 2.0], 1),  # label 1 centroid == label 0 centroid
+        (3, [1.0, 2.0], 1),
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+    fn, oracle = REG["label_centroid_db_index"]
+    out = {r.label: r for r in fn(spark, str(tmp_path)).collect()}
+    sentinel = 9223372036854775807
+    assert out[0].worst_ratio_micro == sentinel
+    assert out[1].worst_ratio_micro == sentinel
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    duck = {r[0]: r for r in con.sql(oracle).fetchall()}
+    assert duck[0][3] == sentinel and duck[1][3] == sentinel
+
+
 def test_centroid_confusion_planted_flip(spark, tmp_path):
     """A vector labeled 1 sitting inside cluster 0 is assigned to
     centroid 0 — one off-diagonal confusion cell."""

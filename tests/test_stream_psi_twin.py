@@ -64,6 +64,10 @@ def test_stream_psi_equals_batch(spark, tmp_path):
             if p:
                 chunks[s].append(("value", s, b, p))
     chunks[2].append(("value", 0, 0, 999))  # replayed seq 0: dropped
+    # malformed bins (ADVICE r10): outside [0, nbins) — must be dropped
+    # AND counted, never IndexError-kill the query
+    chunks[1].append(("value", 1, len(second), 7))
+    chunks[1].append(("value", 1, -3, 7))
     for i, ch in enumerate(chunks):
         p = os.path.join(src, f"p{i:02d}.csv")
         with open(p, "w") as f:
@@ -93,5 +97,6 @@ def test_stream_psi_equals_batch(spark, tmp_path):
     # bit-for-bit: streamed PSI == exact sum of the batch per-bin terms
     assert final.psi_nano == batch_psi
     assert final.n_batches_dropped == 1
+    assert final.n_rows_bad == 2  # the two malformed-bin rows
     # the monitor moved as data arrived (intermediate PSI values exist)
     assert len({r.psi_nano for r in hist}) > 1
