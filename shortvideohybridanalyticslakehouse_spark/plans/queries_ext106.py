@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
-from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    load_table,
+    scaled_shuffle_partitions,
+)
 
 _MAX_SESSION_ITEMS = 32
 
@@ -61,8 +64,9 @@ _COVIS_ORACLE = (
     + """
 SELECT p.item_a, p.item_b, p.co_sessions,
        ia.n_sess AS sessions_a, ib.n_sess AS sessions_b,
-       CAST(p.co_sessions * ns.n * 1000000
-            // (ia.n_sess * ib.n_sess) AS BIGINT) AS lift_micro
+       CAST(CAST(p.co_sessions AS HUGEINT) * ns.n * 1000000
+            // (CAST(ia.n_sess AS HUGEINT) * ib.n_sess) AS BIGINT)
+         AS lift_micro
 FROM pairs p
 JOIN item_sessions ia ON ia.item = p.item_a
 JOIN item_sessions ib ON ib.item = p.item_b
@@ -135,13 +139,18 @@ def _bounded_session_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pairs(bounded: DataFrame) -> DataFrame:
+def _pairs(bounded: DataFrame, n_shuf: int | None = None) -> DataFrame:
     a = bounded.alias("a")
     b = bounded.select(
         F.col("user_id").alias("user_id"),
         F.col("sess_id").alias("sess_id"),
         F.col("item").alias("item_b"),
-    ).alias("b")
+    )
+    if n_shuf is not None:
+        # input-scaled SHJ build width (VERDICT r10 #1); probe side
+        # aligned by EnsureRequirements (tests/test_scaled_shuffle.py)
+        b = b.repartition(n_shuf, "user_id", "sess_id")
+    b = b.alias("b")
     return (
         # Both sides of the session self-join are O(events) — they GROW
         # with the corpus, and round 9's 10x AQE probe proved Catalyst
@@ -165,8 +174,10 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 co-visited item pairs across sessions with exact integer
     lift (co * N * 1e6 // (n_a * n_b)) — the retrieval-stage candidate
     table, session-capped against quadratic blowup."""
+    ev_scan = load_table(spark, sf_dir, "events", ensure_parallelism=False)
+    n_shuf = scaled_shuffle_partitions(ev_scan, rows_per_partition=250_000)
     bounded = _bounded_session_items(spark, sf_dir)
-    pairs = _pairs(bounded)
+    pairs = _pairs(bounded, n_shuf)
     item_sessions = bounded.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sess")
     )
@@ -177,15 +188,16 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item_sessions.select(
         F.col("item").alias("item_a"), F.col("n_sess").alias("sessions_a")
-    )
+    ).repartition(n_shuf, "item_a")
     ib = item_sessions.select(
         F.col("item").alias("item_b"), F.col("n_sess").alias("sessions_b")
-    )
+    ).repartition(n_shuf, "item_b")
     return (
         # per-item stats are O(catalog) — they grow with the data, and
         # the round-9 10x AQE probe disproved the old "AQE will demote"
         # assumption (it only promotes SMJ->broadcast, never the
-        # reverse), so both catalog joins are pinned shuffle-hash.
+        # reverse), so both catalog joins are pinned shuffle-hash with
+        # input-scaled build widths.
         pairs.join(ia.hint("shuffle_hash"), "item_a")
         .join(ib.hint("shuffle_hash"), "item_b")
         .crossJoin(n_sessions)
@@ -195,10 +207,13 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "co_sessions",
             "sessions_a",
             "sessions_b",
-            # integer DIV: co*N*1e6 reaches ~1e16, past float-floor safety
+            # co*N*1e6 wraps in int64 at web-scale session counts (the
+            # ADVICE r10 overflow class): DECIMAL(38,0) cross-products
+            # (oracle: HUGEINT), exact at any SF
             F.expr(
-                "CAST((co_sessions * n * 1000000)"
-                " DIV (sessions_a * sessions_b) AS BIGINT)"
+                "CAST(CAST(co_sessions AS DECIMAL(38,0)) * n * 1000000"
+                " DIV (CAST(sessions_a AS DECIMAL(38,0)) * sessions_b)"
+                " AS BIGINT)"
             ).alias("lift_micro"),
         )
         .orderBy(
@@ -215,7 +230,13 @@ def q_item_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed small id space, so the window partitions are bounded)."""
     from pyspark.sql import Window
 
-    pairs = _pairs(_bounded_session_items(spark, sf_dir))
+    pairs = _pairs(
+        _bounded_session_items(spark, sf_dir),
+        scaled_shuffle_partitions(
+            load_table(spark, sf_dir, "events", ensure_parallelism=False),
+            rows_per_partition=250_000,
+        ),
+    )
     directed = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("rec"),

@@ -43,7 +43,10 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext106 import (
     _pairs,
 )
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
-from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    load_table,
+    scaled_shuffle_partitions,
+)
 
 _SHINGLE_N = 8
 _ES_K = 20
@@ -344,8 +347,12 @@ def q_covis_rule_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 association rules (ante -> cons) from the session
     co-visitation pairs: confidence, lift and leverage in exact integer
     micro units (integer cross-multiplication, no float rates)."""
+    n_shuf = scaled_shuffle_partitions(
+        load_table(spark, sf_dir, "events", ensure_parallelism=False),
+        rows_per_partition=250_000,
+    )
     bounded = _bounded_session_items(spark, sf_dir)
-    pairs = _pairs(bounded)
+    pairs = _pairs(bounded, n_shuf)
     item_sessions = bounded.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sess")
     )
@@ -367,10 +374,10 @@ def q_covis_rule_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item_sessions.select(
         F.col("item").alias("ante"), F.col("n_sess").alias("sessions_ante")
-    )
+    ).repartition(n_shuf, "ante")
     ib = item_sessions.select(
         F.col("item").alias("cons"), F.col("n_sess").alias("sessions_cons")
-    )
+    ).repartition(n_shuf, "cons")
     return (
         directed.filter(F.col("co_sessions") >= _RULE_MIN_CO)
         # O(catalog) build sides: shuffle_hash (ext106 r10 contract)

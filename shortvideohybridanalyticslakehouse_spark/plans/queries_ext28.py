@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
-from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    load_table,
+    scaled_shuffle_partitions,
+)
 
 _HIGH_BITS = 8.0  # docs averaging above this are "surprising" under the LM
 
@@ -68,17 +71,24 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broadcast 1-row corpus total (exchange-reused) instead of funneling
     # the whole vocab through an unpartitioned window — see queries_ext42.
     counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    # Auto-size the pinned SHJ build from the corpus (VERDICT r10 #1):
+    # metadata-fast count of the PURE documents scan; 10k docs/partition
+    # is the 30x-probe-green calibration for count-frame builds.
+    n_shuf = scaled_shuffle_partitions(
+        load_table(spark, sf_dir, "documents", ensure_parallelism=False),
+        rows_per_partition=10_000,
+    )
     vocab = counts.crossJoin(
         F.broadcast(counts.agg(F.sum("n_tok").alias("n_total")))
-    )
+    ).repartition(n_shuf, "tok")
     bits = -F.log2(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
     # `vocab` is O(|vocabulary|) — it GROWS with the corpus. Round 9's
     # 10x AQE probe proved Catalyst keeps broadcasting this exact
     # count-join shape (419 MB on the bigram clone) instead of demoting,
-    # so the join is pinned shuffle-hash: per-executor memory stays
-    # O(partition) at any corpus scale, and `vocab` is already clustered
-    # on `tok` by the groupBy that produced it (exchange reuse, no added
-    # shuffle on the build side).
+    # so the join is pinned shuffle-hash with an input-scaled build-side
+    # repartition: per-executor build memory stays O(rows/n_shuf) at any
+    # corpus scale (the probe side is aligned to n_shuf by
+    # EnsureRequirements — tests/test_scaled_shuffle.py).
     scored = (
         occ.join(vocab.hint("shuffle_hash"), "tok")
         .groupBy("doc_id", "source")

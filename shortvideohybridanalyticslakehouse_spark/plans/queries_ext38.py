@@ -30,6 +30,13 @@ _DAMP = "0.85"
 _BASE = "0.15"
 _ITERS = 3
 
+# similarity_graph_triangles flips from lazy (exchange-reuse-shared, the
+# measured-faster shape at fixture scale) to persist-the-candidate-
+# subtree once the corpus is big enough that recomputing the banded join
+# across plan branches dominates (VERDICT r10 #2). Tests monkeypatch
+# this to force the persist path on fixtures.
+_TRI_PERSIST_MIN_DOCS = 1_000_000
+
 
 def _duck_iter(prev: str, out: str) -> str:
     return f"""
@@ -231,19 +238,21 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle shape (work ∝ Σ d_fwd², never Σ d² on hub nodes).
     """
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    # LAZY below the threshold (round-5 measurement: all three uses of
+    # the oriented edge list live in ONE job where exchange reuse shares
+    # many shuffles — persisting measured ~6.2-7.8 s warm vs ~5.4 s lazy
+    # on local[32]); PERSIST above it (VERDICT r10 #2 made the round-5
+    # scale note code): the plan audit shows the banded-join subtree
+    # recomputed across branches, and at 100 TB that subtree is hours —
+    # persist pairs + oriented so the candidate generation runs ONCE,
+    # then release both via finalize_bounded (the result is one row).
+    n_docs = load_table(
+        spark, sf_dir, "documents", ensure_parallelism=False
+    ).count()
+    do_persist = n_docs >= _TRI_PERSIST_MIN_DOCS
     with_sig = dedupfns.minhash_signatures_df(
         docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
     )
-    # Deliberately LAZY at THIS scale (round-5 measurement): all three
-    # uses of the oriented edge list live in ONE job, where exchange
-    # reuse shares many shuffles — persisting measured ~6.2-7.8 s warm vs
-    # ~5.4 s lazy on local[32], and the lazy plan leaks no cache blocks.
-    # SCALE NOTE: exchange reuse is not guaranteed across all branches
-    # (the audit shows the banded-join subtree recomputed), so at 100 TB
-    # — where that subtree is hours, not seconds — the right shape flips
-    # to persist/checkpoint the oriented edges exactly like PageRank's
-    # finalize_bounded pattern below; the flip is a two-line change and
-    # the cache-hygiene gate already covers it.
     pairs = (
         dedupfns.minhash_candidate_pairs(
             with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
@@ -251,6 +260,8 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") * 16 >= 4)
         .select("doc_a", "doc_b")
     )
+    if do_persist:
+        pairs = pairs.persist()
     und = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -264,6 +275,8 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v")
     )
+    if do_persist:
+        oriented = oriented.persist()
     e1 = oriented.alias("e1")
     e2 = oriented.select(
         F.col("u").alias("mid"), F.col("v").alias("w")
@@ -284,7 +297,7 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges")
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    result = (
         n_edges.crossJoin(F.broadcast(tri))
         .crossJoin(F.broadcast(wedges))
         .select(
@@ -299,3 +312,6 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+    if do_persist:
+        return finalize_bounded(result, pairs, oriented)
+    return result

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.operators import ranks
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
-from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    load_table,
+    scaled_shuffle_partitions,
+)
 
 _MIX_ORACLE = """
 WITH occ AS (
@@ -67,14 +70,21 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition; this shape reuses the groupBy's exchange (ReusedExchange)
     # and broadcasts a single row.
     counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    # input-scaled SHJ build width (VERDICT r10 #1): metadata-fast count
+    # of the PURE documents scan, 30x-probe-green calibration
+    n_shuf = scaled_shuffle_partitions(
+        load_table(spark, sf_dir, "documents", ensure_parallelism=False),
+        rows_per_partition=10_000,
+    )
     vocab = counts.crossJoin(
         F.broadcast(counts.agg(F.sum("n_tok").alias("n_total")))
-    )
+    ).repartition(n_shuf, "tok")
     bits = -F.log2(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
     # O(vocab) build side grows with the corpus and the round-9 10x AQE
     # probe proved this count-join shape does NOT demote from broadcast
-    # on its own (bigram clone: 419 MB) — pin shuffle-hash; the build is
-    # already clustered on `tok` by its own groupBy (exchange reuse).
+    # on its own (bigram clone: 419 MB) — pin shuffle-hash with the
+    # scaled build-side repartition: per-executor build memory stays
+    # O(rows/n_shuf); EnsureRequirements aligns the probe side.
     scored = (
         occ.join(vocab.hint("shuffle_hash"), "tok")
         .groupBy("doc_id")

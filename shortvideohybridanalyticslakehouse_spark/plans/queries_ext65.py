@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
-from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    load_table,
+    scaled_shuffle_partitions,
+)
 
 _MAX_BASKET = 256  # pair blow-up bound: candidates <= orders * C(256,2)
 
@@ -76,6 +79,14 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 co-purchased part pairs by support, with the exact
     integer-cross-multiplied lift statistic."""
     li = load_table(spark, sf_dir, "lineitem")
+    # input-scaled SHJ build width (VERDICT r10 #1): metadata-fast count
+    # of the pure lineitem scan; 250k source rows/partition keeps the
+    # O(orders)/O(parts) count-frame builds far below the measured OOM
+    # envelope (~356 MB/task) at any SF
+    n_shuf = scaled_shuffle_partitions(
+        load_table(spark, sf_dir, "lineitem", ensure_parallelism=False),
+        rows_per_partition=250_000,
+    )
     raw = li.select("l_orderkey", "l_partkey").distinct()
     sized = raw.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("bsize")
@@ -84,11 +95,13 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C(_MAX_BASKET, 2) pairs per order no matter how adversarial a cart.
     # The filter side is O(orders) — it grows with the data (the 10x AQE
     # probe caught it broadcast at 134 MB) — so the join is pinned to
-    # shuffle-hash; both sides cluster on l_orderkey, and the downstream
-    # self-join reuses that exchange.
+    # shuffle-hash with an input-scaled build repartition; both sides
+    # cluster on l_orderkey, and the downstream self-join reuses that
+    # clustering.
     baskets = raw.join(
         sized.filter(F.col("bsize") <= _MAX_BASKET)
         .select("l_orderkey")
+        .repartition(n_shuf, "l_orderkey")
         .hint("shuffle_hash"),
         "l_orderkey",
     )
@@ -120,13 +133,13 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(
             item_supp.select(
                 F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
-            ).hint("shuffle_hash"),
+            ).repartition(n_shuf, "part_a").hint("shuffle_hash"),
             "part_a",
         )
         .join(
             item_supp.select(
                 F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
-            ).hint("shuffle_hash"),
+            ).repartition(n_shuf, "part_b").hint("shuffle_hash"),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))

@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
-from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    load_table,
+    scaled_shuffle_partitions,
+)
 
 _MICRO = 1_000_000
 
@@ -88,6 +91,13 @@ def q_bigram_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
     ).localCheckpoint(eager=True)  # one tokenize pass feeds uni, N, bigrams
+    # Auto-size the pinned SHJ builds from the corpus size (VERDICT r10
+    # #1): toks is already localCheckpoint'ed, so the count is a
+    # materialized-partition count, not a recompute. 10k docs/partition
+    # keeps the 30x bigram build at the measured-green ~85 MB/partition
+    # (tools/SKEW_PROBE_30X.json: 32 partitions = spill-less OOM at
+    # ~356 MB; 128 = clean); small fixtures floor at defaultParallelism.
+    n_shuf = scaled_shuffle_partitions(toks, rows_per_partition=10_000)
     tok = toks.select(
         "doc_id", F.explode(F.col("toks")).alias("term")
     )
@@ -102,28 +112,36 @@ def q_bigram_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = toks.select(
         "doc_id", "source", F.explode(pairs).alias("p")
     ).select("doc_id", "source", "p.pos", "p.v", "p.w")
-    bigc = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    bigc = (
+        big.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c_vw"))
+        # Build-side-only repartition AFTER the agg: keeps the map-side
+        # partial combine, costs one O(vocab) re-exchange, and bounds
+        # the spill-less SHJ build at ~rows/n_shuf per task. The probe
+        # side is aligned to n_shuf by EnsureRequirements (verified in
+        # tests/test_scaled_shuffle.py), so its exchange keeps the
+        # ENSURE_REQUIREMENTS origin and AQE skew-splitting stays
+        # available on the big side.
+        .repartition(n_shuf, "v", "w")
+    )
+    uni_v = (
+        uni.select(F.col("term").alias("v"), F.col("c").alias("c_v"))
+        .repartition(n_shuf, "v")
+    )
+    uni_w = (
+        uni.select(F.col("term").alias("w"), F.col("c").alias("c_w"))
+        .repartition(n_shuf, "w")
+    )
     # bigc/uni are O(vocab) — they GROW with the corpus. The 10x AQE
     # probe (tools/scale_probe_aqe.py, round 9) caught Catalyst
     # broadcasting the bigram-count frame at 419 MB on a vocab-salted
-    # clone, so the three vocabulary joins are pinned to shuffle-hash:
-    # per-executor memory stays O(partition) no matter how the
-    # vocabulary scales, and the probe side is already shuffled on the
-    # same keys by the groupBys that produced the counts.
+    # clone, so the three vocabulary joins are pinned to shuffle-hash
+    # with n_shuf-scaled builds: per-executor memory stays
+    # O(rows/n_shuf) no matter how the vocabulary scales.
     scored = (
         big.join(bigc.hint("shuffle_hash"), ["v", "w"])
-        .join(
-            uni.select(
-                F.col("term").alias("v"), F.col("c").alias("c_v")
-            ).hint("shuffle_hash"),
-            "v",
-        )
-        .join(
-            uni.select(
-                F.col("term").alias("w"), F.col("c").alias("c_w")
-            ).hint("shuffle_hash"),
-            "w",
-        )
+        .join(uni_v.hint("shuffle_hash"), "v")
+        .join(uni_w.hint("shuffle_hash"), "w")
         .crossJoin(F.broadcast(n_tok))
         .select(
             "doc_id",

@@ -86,6 +86,34 @@ def ensure_min_parallelism(
     return df
 
 
+def scaled_shuffle_partitions(
+    df: DataFrame, rows_per_partition: int, cap: int = 32768
+) -> int:
+    """Shuffle-partition count for VOLUME-BUILD ShuffledHashJoin lanes,
+    derived from the input size instead of a hand-set session constant
+    (VERDICT r10 #1: the bigram count-join's spill-less SHJ build OOMed
+    at the default 32 partitions on the 30x corpus — ~356 MB/partition —
+    and ran clean at 128; partitions must scale with the data).
+
+    ``df`` must be cheap to count by contract: a PURE parquet scan
+    (empty-schema count reads only row-group metadata — no column data,
+    no shuffle, fast at any SF) or an already-materialized
+    (localCheckpoint'ed) frame. Do NOT pass a transformed frame whose
+    count would execute real work twice.
+
+    ``rows_per_partition`` is the lane's calibration: source rows whose
+    derived count-frame build fits comfortably in one executor task
+    (e.g. 10k documents/partition keeps the 30x bigram build at
+    ~85 MB/partition, the measured-green figure). Floored at
+    defaultParallelism so small fixtures keep every core busy; capped so
+    a 100-TB input cannot demand millions of reducers (beyond the cap
+    you scale executors, not partitions)."""
+    spark = df.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    n_rows = df.count()
+    return int(max(floor, min(cap, -(-n_rows // max(1, rows_per_partition)))))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:

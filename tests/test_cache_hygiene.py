@@ -39,3 +39,19 @@ def test_no_persisted_rdds_after_query(spark, name):
     fn(spark, SF_DIR).collect()
     leaked = _persisted_ids(spark) - before
     assert not leaked, f"{name}: persisted RDD(s) outlive the query: {leaked}"
+
+
+def test_triangles_persist_path_equals_lazy(spark, monkeypatch):
+    """VERDICT r10 #2: above _TRI_PERSIST_MIN_DOCS the triangles lane
+    persists the banded-candidate subtree (pairs + oriented) and
+    releases both via finalize_bounded. Forced on the fixture via
+    monkeypatch: identical single-row result, zero leaked cache."""
+    from shortvideohybridanalyticslakehouse_spark.plans import queries_ext38
+
+    fn, _ = REGISTRY["similarity_graph_triangles"]
+    lazy = fn(spark, SF_DIR).collect()
+    monkeypatch.setattr(queries_ext38, "_TRI_PERSIST_MIN_DOCS", 1)
+    before = _persisted_ids(spark)
+    persisted = fn(spark, SF_DIR).collect()
+    assert persisted == lazy
+    assert _persisted_ids(spark) - before == set()
