@@ -97,6 +97,10 @@ DEFAULT_TARGETS = [
     "knn_label_noise_audit",
     "shingle_temporal_novelty",
     "cvar_expected_shortfall",
+    # round-11: the two rows-only sketch lanes, gated by their committed
+    # sketch_pins.json hashes instead of a DuckDB oracle
+    "weekly_hll_union_estimate",
+    "value_percentiles_approx",
 ]
 
 _SORT_SWAP = {
@@ -521,6 +525,15 @@ def main() -> int:
     ):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # Rows-only sketch lanes have no SQL oracle, but their committed
+    # sketch_pins.json hash IS their correctness gate (VERDICT r10 #5):
+    # use the pin tuple as the comparator so those lanes get proven
+    # detection power too (a mutant must drift the pinned hash).
+    from tools.sketch_pins import _sf_tag, load_pins
+
+    pins = load_pins()
+    sftag = _sf_tag(sf_dir)
+
     oracles = entrymod.oracle_sql()
     report: dict[str, dict] = {}
     insensitive: list[str] = []
@@ -528,16 +541,24 @@ def main() -> int:
         if name not in REGISTRY:
             print(f"SKIP {name}: not in registry")
             continue
+        gate = "oracle"
         if name not in oracles:
-            print(f"SKIP {name}: no SQL oracle (rows-only lane)")
-            continue
+            pin = pins.get(name, {}).get(sftag)
+            if not pin:
+                print(f"SKIP {name}: no SQL oracle and no sketch pin")
+                continue
+            gate = "sketch_pin"
         t0 = time.time()
-        odf = con.sql(oracles[name]).df()
-        otuple = frame_hash(odf)
+        if gate == "oracle":
+            odf = con.sql(oracles[name]).df()
+            otuple = frame_hash(odf)
+        else:
+            pin = pins[name][sftag]
+            otuple = (int(pin["rows"]), list(pin["cols"]), pin["hash"])
         base = REGISTRY[name][0](spark, sf_dir).toPandas()
         if frame_hash(base) != otuple:
             print(f"BROKEN {name}: baseline already disagrees — fix first")
-            report[name] = {"status": "baseline_broken"}
+            report[name] = {"status": "baseline_broken", "gate": gate}
             insensitive.append(name)
             continue
         sites: list[tuple] = []
@@ -571,16 +592,20 @@ def main() -> int:
         dt = time.time() - t0
         if killed:
             print(
-                f"KILLED {name}: {killed['mutant']} ({killed['how']}) "
-                f"after {len(tried)} mutant(s) [{dt:.1f}s]"
+                f"KILLED {name}: {killed['mutant']} ({killed['how']}, "
+                f"gate={gate}) after {len(tried)} mutant(s) [{dt:.1f}s]"
             )
-            report[name] = {"status": "killed", **killed, "tried": tried}
+            report[name] = {
+                "status": "killed", "gate": gate, **killed, "tried": tried
+            }
         else:
             print(
                 f"INSENSITIVE {name}: {len(tried)} mutants all passed "
                 f"[{dt:.1f}s]"
             )
-            report[name] = {"status": "insensitive", "tried": tried}
+            report[name] = {
+                "status": "insensitive", "gate": gate, "tried": tried
+            }
             insensitive.append(name)
 
     # MERGE into the artifact (round 10: a subset rerun clobbered the

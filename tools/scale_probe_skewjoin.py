@@ -62,6 +62,12 @@ QUERIES = {
     "bigram_lm_surprise": "ShuffledHashJoinExec",
     "kl_source_drift": "ShuffledHashJoinExec",
     "shingle_contamination_audit": "SortMergeJoinExec",
+    # r11 additions (VERDICT r10 #4): the round-10 merge-pinned
+    # volume-build lanes the probe had not yet covered. The novelty
+    # lane's first-seen index is the same distinct-shingle class that
+    # OOM'd the spill-less SHJ at 36M shingles — the merge pin must
+    # hold under the Zipf-with-copies corpus.
+    "shingle_temporal_novelty": "SortMergeJoinExec",
 }
 TOKENS_PER_DOC = 80
 PARTS = 32
@@ -221,6 +227,50 @@ def main() -> int:
             if not pinned_ok:
                 ok = False
             print(f"{factor}x {qname}: {qrow}")
+        # streaming contamination firewall STATIC LEG (VERDICT r10 #4):
+        # Structured Streaming gives every micro-batch full Catalyst
+        # planning, so this batch stand-in join measures the identical
+        # per-batch plan the firewall runs. The frozen train index is a
+        # distinct-shingle VOLUME build side (the class that OOM'd the
+        # spill-less SHJ at 36M shingles) — the merge pin must hold
+        # under the Zipf-with-copies corpus.
+        from shortvideohybridanalyticslakehouse_spark.streaming.contamination import (  # noqa: E501,PLC0415
+            doc_shingles,
+            train_shingle_index,
+        )
+
+        # split so the corpus's verbatim copiers (doc_id % 50 == 0,
+        # donors at doc_id-1) land in the BATCH with their donors in
+        # train — the firewall must flag them (real join matches)
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        t0 = time.time()
+        flagged = (
+            doc_shingles(batch)
+            .join(train_shingle_index(train).hint("merge"), "shingle")
+            .select("doc_id", "source")
+            .dropDuplicates(["doc_id"])
+        )
+        n_flagged = len(flagged.collect())
+        acc_fw: dict = {}
+        walk_join_metrics(
+            flagged._jdf.queryExecution().executedPlan(), acc_fw
+        )
+        fw_pinned = "SortMergeJoinExec" in acc_fw.get("join_nodes", [])
+        frow["queries"]["contamination_firewall_static_leg"] = {
+            "wall_sec": round(time.time() - t0, 2),
+            "n_flagged": n_flagged,
+            "join_nodes": sorted(set(acc_fw.get("join_nodes", []))),
+            "expected_join": "SortMergeJoinExec",
+            "pinned_join_present": fw_pinned,
+            "max_broadcast_bytes": acc_fw.get("max_broadcast", 0),
+        }
+        if not fw_pinned or n_flagged == 0:
+            ok = False
+        print(
+            f"{factor}x contamination_firewall_static_leg: "
+            f"{frow['queries']['contamination_firewall_static_leg']}"
+        )
         bal = frow["build_side_balance"]["balance_ratio"]
         if bal is None or bal >= 2.0:
             ok = False
