@@ -204,6 +204,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext138,
         queries_ext139,
         queries_ext140,
+        queries_ext141,
     )
 
     return REGISTRY

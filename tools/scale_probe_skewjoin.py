@@ -68,6 +68,11 @@ QUERIES = {
     # OOM'd the spill-less SHJ at 36M shingles — the merge pin must
     # hold under the Zipf-with-copies corpus.
     "shingle_temporal_novelty": "SortMergeJoinExec",
+    # r11: exact-substring dedup — the merge-pinned shared-anchor
+    # semi-join (volume build) plus the per-bucket suffix-array kernel
+    # under Zipf-with-copies (the 2% verbatim copiers are exactly the
+    # fully-covered-doc hot case)
+    "exact_substring_spans": "SortMergeJoinExec",
 }
 TOKENS_PER_DOC = 80
 PARTS = 32
