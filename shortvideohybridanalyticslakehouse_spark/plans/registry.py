@@ -205,6 +205,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext139,
         queries_ext140,
         queries_ext141,
+        queries_ext142,
     )
 
     return REGISTRY
