@@ -107,6 +107,14 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), m),
         lambda p: F.xxhash64(F.array_join(F.slice("ts", p, _K), " ")),
     )
+    # window minima precomputed ONCE (O(m*W)); the per-position anchor
+    # test then only compares against them (O(m*W) total) — inlining
+    # array_min(slice(...)) inside the exists made the HOF O(m*W^2),
+    # measured as the lane's dominant cost at sf0.1
+    winmin = F.transform(
+        F.sequence(F.lit(1), m - (_W - 1)),
+        lambda j: F.array_min(F.slice("_kh", j, _W)),
+    )
     anchors = F.filter(
         F.transform(F.sequence(F.lit(1), m), lambda p: p),
         # p is an anchor iff its k-gram hash is the min of SOME winnow
@@ -115,14 +123,15 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: F.exists(
             F.sequence(
                 F.greatest(F.lit(1), p - (_W - 1)),
-                F.least(p, m - (_W - 1)),
+                F.least(p, F.size("_wm")),
             ),
-            lambda j: F.array_min(F.slice(F.col("_kh"), j, _W))
+            lambda j: F.get(F.col("_wm"), j - 1)
             == F.get(F.col("_kh"), p - 1),
         ),
     )
     snip_rows = (
         toks.withColumn("_kh", kh)
+        .withColumn("_wm", winmin)
         .select(
             "doc_id",
             "ts",
@@ -137,6 +146,10 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ts", F.greatest(F.lit(1), F.col("a") - (_W - 1)), _SNIP
             ).alias("snip"),
         )
+        # one tokenize+anchor pass feeds BOTH the >=2-docs filter and
+        # the probe side (ext92's localCheckpoint doctrine — without it
+        # the anchor HOF subtree executes once per branch)
+        .localCheckpoint(eager=False)
     )
     # anchors whose VALUE spans >=2 distinct docs: the shared-anchor
     # vocabulary GROWS with the corpus (volume build) — merge pin, the
