@@ -206,6 +206,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext140,
         queries_ext141,
         queries_ext142,
+        queries_ext143,
     )
 
     return REGISTRY
