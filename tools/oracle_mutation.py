@@ -101,6 +101,12 @@ DEFAULT_TARGETS = [
     # sketch_pins.json hashes instead of a DuckDB oracle
     "weekly_hll_union_estimate",
     "value_percentiles_approx",
+    # round-11 families: exact-substring span dedup and training-run
+    # planning
+    "exact_substring_spans",
+    "exact_substring_removal",
+    "curriculum_phase_schedule",
+    "epoch_allocation_budget",
 ]
 
 _SORT_SWAP = {
