@@ -3068,3 +3068,108 @@ def adpcm_decoded_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         batches, ADPCM_SAMPLES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (round 11): dHash over REAL decodes
+# ---------------------------------------------------------------------------
+
+
+def synthetic_raster_payloads_with_dups(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """synthetic_raster_payloads variant with PLANTED cross-format
+    duplicates: ids with ``id % 10 == 7`` re-encode the PREVIOUS id's
+    image (identical dimensions and pixel bytes, the other container
+    format) — the classic "same image, different file" dup a byte-hash
+    can never catch and a perceptual hash must (hamming 0)."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            ids = pdf[id_col].astype("int64")
+            for d in ids:
+                d = int(d)
+                e = d - 1 if d % 10 == 7 else d  # planted re-encode
+                w, h = 8 + e % 9, 6 + e % 7
+                # NONLINEAR pixel function (quadratic in the byte index,
+                # multiplicative in the id): a linear ramp makes every
+                # image's gradient signs near-identical, collapsing the
+                # perceptual-hash space (first cut measured 45k collided
+                # pairs at sf0.01). Values stay < ~2^48 so the SQL
+                # oracle replays the identical arithmetic in BIGINT.
+                i = np.arange(3 * w * h, dtype=np.int64)
+                rgb = (
+                    ((e + 1) * 7919 * (i + 1) * (i + 3)) % 256
+                ).astype(np.uint8).tobytes()
+                payloads.append(
+                    encode_bmp(w, h, rgb) if d % 2 else encode_ppm(w, h, rgb)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def raster_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """60-bit sampled-gradient perceptual hash over REAL raster decodes.
+
+    Bit j (rows r = j // 8 of 8, columns c = j % 8 of 8) compares the
+    integer luma (299R + 587G + 114B, exact) at nearest-sampled grid
+    points x_c = c*w // 9 vs x_{c+1}, y_r = r*h // 8 — the dHash
+    gradient sign. 60 bits (not 64) keeps the value positive in both
+    engines' signed BIGINT, the simhash convention. Sampling instead of
+    area-resize keeps the hash closed-form replayable by the SQL oracle
+    while the Spark side still exercises the full binary decode path
+    (header, stride, row order, channel order)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                _fmt, w, h, rgb = decode_raster(bytes(p))
+                # decode_raster may hand back a strided view (BMP
+                # bottom-up row flip) — flatten contiguously first
+                a = (
+                    np.ascontiguousarray(np.asarray(rgb, dtype=np.uint8))
+                    .reshape(-1)
+                    .astype(np.int64)
+                )
+                val = 0
+                for j in range(60):
+                    r, c = j // 8, j % 8
+                    y = r * h // 8
+                    x0 = c * w // 9
+                    x1 = (c + 1) * w // 9
+                    i0 = 3 * (y * w + x0)
+                    i1 = 3 * (y * w + x1)
+                    l0 = 299 * a[i0] + 587 * a[i0 + 1] + 114 * a[i0 + 2]
+                    l1 = 299 * a[i1] + 587 * a[i1 + 1] + 114 * a[i1 + 2]
+                    if l0 < l1:
+                        val |= 1 << j
+                hashes.append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, DHASH_SCHEMA)

@@ -207,6 +207,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_ext141,
         queries_ext142,
         queries_ext143,
+        queries_ext144,
     )
 
     return REGISTRY
