@@ -3126,8 +3126,15 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def raster_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def raster_dhash(
+    df: DataFrame, id_col: str = "doc_id", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """60-bit sampled-gradient perceptual hash over REAL raster decodes.
+
+    ``carry`` names extra input columns passed through unchanged —
+    the streaming firewall carries ``source`` this way instead of
+    re-joining the stream to itself (a stream-stream join with
+    unbounded state).
 
     Bit j (rows r = j // 8 of 8, columns c = j % 8 of 8) compares the
     integer luma (299R + 587G + 114B, exact) at nearest-sampled grid
@@ -3165,11 +3172,17 @@ def raster_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     if l0 < l1:
                         val |= 1 << j
                 hashes.append(val)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "dhash": pd.array(hashes, dtype="int64"),
-                }
-            )
+            out = {"doc_id": pdf["doc_id"].astype("int64")}
+            for c in carry:
+                out[c] = pdf[c]
+            out["dhash"] = pd.array(hashes, dtype="int64")
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, "payload").mapInPandas(batches, DHASH_SCHEMA)
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [df.schema[c] for c in carry]
+        + [StructField("dhash", LongType())]
+    )
+    return df.select(id_col, *carry, "payload").mapInPandas(
+        batches, schema
+    )
