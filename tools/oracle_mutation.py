@@ -107,6 +107,7 @@ DEFAULT_TARGETS = [
     "exact_substring_removal",
     "curriculum_phase_schedule",
     "epoch_allocation_budget",
+    "raster_dhash_near_dup",
 ]
 
 _SORT_SWAP = {

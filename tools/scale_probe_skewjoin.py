@@ -73,6 +73,10 @@ QUERIES = {
     # under Zipf-with-copies (the 2% verbatim copiers are exactly the
     # fully-covered-doc hot case)
     "exact_substring_spans": "SortMergeJoinExec",
+    # r11: image perceptual-hash near-dup — the merge-pinned band
+    # self-join over dHashes of synthesized-from-doc_id payloads (the
+    # probe corpus's doc ids exercise the planted re-encode density)
+    "raster_dhash_near_dup": "SortMergeJoinExec",
 }
 TOKENS_PER_DOC = 80
 PARTS = 32
