@@ -3106,9 +3106,19 @@ def synthetic_raster_payloads_with_dups(
                 # perceptual-hash space (first cut measured 45k collided
                 # pairs at sf0.01). Values stay < ~2^48 so the SQL
                 # oracle replays the identical arithmetic in BIGINT.
+                # the (e // 256) term extends the pixel period past
+                # mod-256 residues of e: without it, ids congruent mod
+                # lcm(256, dims) share EXACT hashes and the 10x probe's
+                # 500k-id corpus forms identical-hash classes whose
+                # quadratic PAIR OUTPUT dominates the wall (a fixture
+                # artifact, not a lane property)
                 i = np.arange(3 * w * h, dtype=np.int64)
                 rgb = (
-                    ((e + 1) * 7919 * (i + 1) * (i + 3)) % 256
+                    (
+                        (e + 1) * 7919 * (i + 1) * (i + 3)
+                        + (e // 256 + 1) * 104729 * (i + 5)
+                    )
+                    % 256
                 ).astype(np.uint8).tobytes()
                 payloads.append(
                     encode_bmp(w, h, rgb) if d % 2 else encode_ppm(w, h, rgb)

@@ -32,9 +32,14 @@ from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 _MAX_HAM = 2
 
 # sampled luma at grid point (c, r) for effective id e, width w, height h
-# — byte index i = 3*(y*w + x); byte value = (e+1)*7919*(i+1)*(i+3) % 256
-# (the generator's nonlinear pixel function, replayed verbatim)
-_PX = "(((e + 1) * 7919 * (({i}) + 1) * (({i}) + 3)) % 256)"
+# — byte index i = 3*(y*w + x); byte value =
+# ((e+1)*7919*(i+1)*(i+3) + (e//256+1)*104729*(i+5)) % 256
+# (the generator's nonlinear long-period pixel function, replayed
+# verbatim)
+_PX = (
+    "(((e + 1) * 7919 * (({i}) + 1) * (({i}) + 3)"
+    " + (e // 256 + 1) * 104729 * (({i}) + 5)) % 256)"
+)
 _IDX = "(3*(((({r}) * h) // 8) * w + ((({c}) * w) // 9)))"
 _LUMA = (
     "(299 * " + _PX.format(i=_IDX) + ""
