@@ -68,6 +68,7 @@ _MARKOV = (
 )
 BNLJ_BOUNDED_ALLOWLIST: dict[str, str] = {
     "concat_chunk_packing_plan": _GRID,
+    "curriculum_phase_schedule": _GRID,
     "equi_depth_value_bins": _GRID,
     "max_concurrent_sessions": _GRID,
     "oov_rate_by_source": _GRID,
