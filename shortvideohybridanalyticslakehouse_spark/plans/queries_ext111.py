@@ -106,9 +106,14 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive per-doc split's leaked-edge count is reported alongside —
     the contamination a test-set eval would silently inherit."""
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
+    # The Jaccard self-join is this lane's dominant cost and its output is
+    # consumed THREE times (CC edge list, leak audit join x2 sides);
+    # localCheckpoint executes it once — the r11 shape re-derived it from
+    # the scan for the leak audit at final-action time (guide §5 cache
+    # discipline; measured r12: 7.4 s -> 4.9 s for the lane).
     edges = dedupfns.exact_jaccard_pairs(
         docs, "doc_id", "text", k=3, min_jaccard=0.5
-    )
+    ).localCheckpoint(eager=True)
     labels = connected_components(edges, "doc_a", "doc_b")
     assigned = (
         docs.select("doc_id", "n_chars")

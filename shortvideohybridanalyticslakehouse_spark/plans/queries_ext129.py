@@ -34,6 +34,8 @@ scan + 4-row rollup.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -577,47 +579,73 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey"), F.col("l_partkey").alias("part")
     )
+    # Scale-adaptive edge-frame partitioning (guide §2.2/§2.5): the r11
+    # shape persisted the distinct edge list at the session's 32 shuffle
+    # partitions (~300 KB each at sf0.1) and every one of the ~20 stages
+    # this lane runs paid 32-task scheduling overhead on a 9.6 MB frame
+    # (profiled run/cpu ratio ~3x). Derive the partition count from the
+    # INPUT size instead — a metadata-only parquet row count, no column
+    # data read — so small graphs get few fat partitions and a 100 TB
+    # edge list still fans out (capped; beyond the cap you scale
+    # executors, not partitions).
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    nparts = int(max(1, min(4096, -(-n_li // 150_000))))
     e = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select("cust", "part")
         .distinct()
+        .coalesce(nparts)
         .persist()
     )
+    # Join-strategy selection (guide §3.1): the score frames are
+    # O(distinct nodes) <= O(lineitem rows); when that bound fits the
+    # broadcast envelope, BHJ leaves the persisted edge list unshuffled
+    # all K rounds (the big side never crosses an Exchange) and the
+    # groupBy gets map-side partial aggregation. Past the envelope
+    # (billions of nodes at 100 TB) fall back to the shuffle join —
+    # identical results. Measured r12 at sf0.1: broadcast + size-derived
+    # partitions 2.8 s vs 5.0 s for the r11 shape (query body,
+    # median-of-3).
+    bcast_scores = n_li <= int(
+        os.environ.get("SVH_HITS_BCAST_MAX_NODES", "5000000")
+    )
+
+    def _scores_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_scores else df
+
     a = e.select("part").distinct().select(
         "part", F.lit(1_000_000).cast("bigint").alias("s")
     )
     h = None
     for _ in range(_HITS_ROUNDS):
+        # localCheckpoint the RAW sums (one execution of the heavy
+        # join+agg), fold the 1-row max to the driver from the
+        # materialized frame, and normalize LAZILY on top of the
+        # checkpoint. The previous shape (broadcast-max crossJoin, then
+        # checkpoint the normalized frame) executed every join+agg
+        # TWICE per half-round — once building the broadcast, once for
+        # the checkpoint.
         hraw = (
-            e.join(a, "part")
+            e.join(_scores_side(a), "part")
             .groupBy("cust")
             .agg(F.sum("s").cast("bigint").alias("s"))
-        )
-        hmax = hraw.agg(F.max("s").alias("mx"))
-        # localCheckpoint truncates the per-round lineage: without it the
-        # K-round chain re-derives every earlier round per action (the
-        # ext122 bounded-iteration discipline); frames are O(nodes), tiny
-        h = (
-            hraw.crossJoin(F.broadcast(hmax))
-            .select(
-                "cust",
-                F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s"),
-            )
             .localCheckpoint(eager=True)
+        )
+        hmx = hraw.agg(F.max("s").alias("mx")).collect()[0][0] or 1
+        h = hraw.select(
+            "cust",
+            F.expr(f"CAST(s * 1000000 DIV {int(hmx)} AS BIGINT)").alias("s"),
         )
         araw = (
-            e.join(h, "cust")
+            e.join(_scores_side(h), "cust")
             .groupBy("part")
             .agg(F.sum("s").cast("bigint").alias("s"))
-        )
-        amax = araw.agg(F.max("s").alias("mx"))
-        a = (
-            araw.crossJoin(F.broadcast(amax))
-            .select(
-                "part",
-                F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s"),
-            )
             .localCheckpoint(eager=True)
+        )
+        amx = araw.agg(F.max("s").alias("mx")).collect()[0][0] or 1
+        a = araw.select(
+            "part",
+            F.expr(f"CAST(s * 1000000 DIV {int(amx)} AS BIGINT)").alias("s"),
         )
     wa = Window.orderBy(F.col("s").desc(), F.col("part").asc())
     wh = Window.orderBy(F.col("s").desc(), F.col("cust").asc())

@@ -13,6 +13,8 @@ streaming plans only), so this is pure extension surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,28 +42,44 @@ def connected_components(
     here is tiny so the simple form wins).
     """
     # The edge derivation upstream (e.g. a Jaccard self-join) is expensive;
-    # without a persist every loop action re-executes it from the scan.
-    # Cache the symmetrized edges ONCE, then each round only re-derives
-    # labels (and each round's labels are cached so round k+1 and its
-    # convergence action don't replay rounds 1..k).
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .persist()
+    # localCheckpoint it ONCE (the r11 persist-the-union shape executed the
+    # upstream join once per union branch at materialization), then
+    # symmetrize over the materialized blocks. The checkpointed edge count
+    # is a free byproduct and funds two scale-adaptive choices (guide
+    # §2.2/§3.1): partition the per-round frames by measured size instead
+    # of the session's shuffle constant (near-dup edge sets are tiny
+    # relative to the corpus — 32-task stages on KB-sized frames were pure
+    # scheduling overhead, profiled r12), and broadcast the label frame
+    # into the per-round join while it fits (labels <= 2x edges rows), so
+    # the edge list never crosses an Exchange; past the envelope
+    # (SVH_CC_BCAST_MAX_NODES) the shuffle join returns — same fixpoint.
+    base = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    n_edges = base.count()
+    nparts = int(max(1, min(4096, -(-n_edges // 500_000))))
+    bcast_labels = 2 * n_edges <= int(
+        os.environ.get("SVH_CC_BCAST_MAX_NODES", "5000000")
     )
-    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
-        "cluster_id", F.col("node")
+    sym = base.union(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .coalesce(nparts)
+        .withColumn("cluster_id", F.col("node"))
     )
     prev_sum = None
-    cached = [sym]
+    cached = []
     for _ in range(max_iter):
-        neighbor = sym.join(
-            labels, sym.s == labels.node
-        ).select(F.col("d").alias("node"), "cluster_id")
+        lab = F.broadcast(labels) if bcast_labels else labels
+        neighbor = sym.join(lab, sym.s == lab.node).select(
+            F.col("d").alias("node"), "cluster_id"
+        )
         labels = (
             neighbor.union(labels)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
+            .coalesce(nparts)
             .persist()
         )
         cached.append(labels)
