@@ -229,19 +229,56 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer in micro-cents via DIV, and the CI bounds are order
     statistics of the 200 sorted resample means. The expansion is
     |purchases| x 200 rows of two ints — map-side generated, aggregated
-    with partial combine, no shuffle amplification."""
+    with partial combine, no shuffle amplification.
+
+    The global rid (row_number over event_id) is assigned scalably
+    (guide §2.5): a single-partition Window would drag the entire x200
+    expansion + hash into ONE task (profiled r12: one 5 s CPU task while
+    31 cores idled; at 100 TB that task holds every purchase row — OOM).
+    Instead: range-repartition by event_id, checkpoint so both the
+    offset fold and the main pass see the SAME partitioning, then
+    per-partition row_number + the partition's cumulative row offset
+    (a bounded P-row driver fold). Identical rid values; the expansion
+    runs on every core."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.row_number().over(Window.orderBy("event_id")).alias("rid"),
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("cents"),
-        )
+    pur_raw = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
     )
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        pur_raw.repartitionByRange(nparts, "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "pid int, rid_off bigint"
+    )
+    purchases = ranged.join(F.broadcast(off_df), "pid").select(
+        (
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("event_id")
+            )
+            + F.col("rid_off")
+        ).alias("rid"),
+        "cents",
+    )
+    # The x200 explode amplifies AFTER the window's exchange, so AQE's
+    # byte-based coalescing (200 KB -> 1 partition) would serialize the
+    # expensive hash expansion; an explicit repartition pins the fan-out
+    # (user repartitions are exempt from AQE coalescing — guide §2.5)
     expanded = (
-        purchases.select(
+        purchases.repartition(nparts).select(
             "rid", "cents", F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b")
         )
         .filter(
@@ -261,7 +298,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list("m")).alias("ms"),
         F.count(F.lit(1)).cast("bigint").alias("nb"),
     )
-    overall = purchases.agg(
+    # rid is irrelevant to the overall mean — aggregate the checkpointed
+    # pre-window frame directly (no window, no offset join on this branch)
+    overall = ranged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.expr(
             "CAST((sum(cents) * 1000000) DIV count(1) AS BIGINT)"

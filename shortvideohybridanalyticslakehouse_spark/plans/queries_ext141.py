@@ -23,9 +23,9 @@ Spark-first shape (the suffix-array construction):
 3. one hash shuffle on the anchor key: anchors whose value spans >=2
    distinct docs survive (merge-pinned semi-join — the build side is
    the shared-anchor vocabulary, a VOLUME build), and the surviving
-   snippet groups flow straight into applyInPandas (the join's output
-   partitioning already satisfies the groupBy).
-4. per-bucket prefix-doubling suffix array + Kasai LCP + the
+   snippets flow straight into the partition-level mapInPandas kernel
+   (the join's ahash partitioning co-locates every bucket's rows).
+4. ONE prefix-doubling suffix array + Kasai LCP per PARTITION + the
    nearest-different-doc sweep emit covered (doc_id, pos); global
    distinct, then gaps-and-islands (pos - row_number) rebuilds the
    maximal spans.
@@ -48,10 +48,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions.suffixes import (
-    bucket_covered_positions,
+    partition_covered_positions,
 )
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
-from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
+from shortvideohybridanalyticslakehouse_spark.sources.batch import (
+    load_table,
+    scaled_shuffle_partitions,
+)
 
 _K = 4  # anchor k-gram
 _W = 5  # winnow window (k-gram positions)
@@ -153,20 +156,34 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # anchors whose VALUE spans >=2 distinct docs: the shared-anchor
     # vocabulary GROWS with the corpus (volume build) — merge pin, the
-    # contamination-index doctrine. Both the semi-join and the
-    # applyInPandas group hash on ahash, so the snippet frame shuffles
-    # once.
+    # contamination-index doctrine. The semi-join and the partition
+    # kernel both key on ahash, so the snippet frame shuffles once.
     multi = (
         snip_rows.groupBy("ahash")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("ahash")
     )
+    # Pin the Python kernel's fan-out (guide §2.5/§4): AQE coalesces the
+    # semi-join's post-shuffle partitions by BYTES (~10 MB -> 8 at
+    # sf0.1), but the per-bucket suffix-array build is CPU-heavy per
+    # byte, so byte-based coalescing starves cores (profiled r12: 8
+    # tasks, run 39.6 s vs cpu 4.9 s — Python time on 8 of 32 cores).
+    # Repartitioning the probe side BEFORE the join pins the exchange
+    # (REPARTITION_BY_COL origin — exempt from AQE coalescing; a
+    # repartition AFTER the join is pruned as redundant since the SMJ
+    # output already hash-partitions on ahash); the kernel runs inside
+    # the join stage at this width. Count is size-derived from the doc
+    # scan (parquet metadata count), not a local constant.
+    sa_parts = scaled_shuffle_partitions(docs, 2_000)
     cov = (
-        snip_rows.join(multi.hint("merge"), "ahash", "left_semi")
-        .groupBy("ahash")
-        .applyInPandas(
-            lambda pdf: bucket_covered_positions(pdf, _L),
+        snip_rows.repartition(sa_parts, "ahash")
+        .join(multi.hint("merge"), "ahash", "left_semi")
+        # only the columns the kernel reads cross the Python boundary
+        # (guide §4.1); ahash has done its co-location job by now
+        .select("doc_id", "start", "snip")
+        .mapInPandas(
+            lambda it: partition_covered_positions(it, _L),
             "doc_id long, pos long",
         )
         .distinct()

@@ -12,6 +12,7 @@ from shortvideohybridanalyticslakehouse_spark.functions.suffixes import (
     bucket_covered_positions,
     cross_doc_match_lengths,
     lcp_array,
+    partition_covered_positions,
     suffix_array,
 )
 from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
@@ -163,3 +164,64 @@ def test_bucket_kernel_positions():
     assert got == {(1, 10), (2, 6), (1, 50)}
     # single-doc bucket: nothing
     assert bucket_covered_positions(pdf[pdf.doc_id == 1], 8).empty
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_partition_kernel_equals_per_bucket(seed):
+    """The partition-level mapInPandas kernel (one suffix array over all
+    co-partitioned buckets) must emit EXACTLY the union of the old
+    per-bucket applyInPandas kernel's outputs: cross-bucket matches it
+    additionally sees are true >=L matches the per-bucket pass certifies
+    in the matching rows' own bucket, and same-doc rows never certify
+    each other either way."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"t{i}" for i in range(6)]
+    buckets = []
+    for b in range(8):
+        rows = []
+        for _ in range(rng.randint(1, 5)):
+            doc = int(rng.randint(1, 5))
+            start = int(rng.randint(1, 200))
+            ln = int(rng.randint(8, 14))
+            snip = [vocab[v] for v in rng.randint(0, len(vocab), ln)]
+            rows.append({"doc_id": doc, "start": start, "snip": snip})
+        buckets.append(pd.DataFrame(rows))
+    per_bucket = set()
+    for bdf in buckets:
+        out = bucket_covered_positions(bdf, 8)
+        per_bucket |= set(zip(out["doc_id"], out["pos"]))
+    whole = pd.concat(buckets, ignore_index=True)[
+        ["doc_id", "start", "snip"]
+    ]
+    # Decomposed equivalence: (a) partition output ⊇ per-bucket union
+    # (nothing an in-bucket pass certifies is lost), and (b) every extra
+    # hit is a real cross-doc >=8-gram equality (brute-forced below).
+    # Query-level set equality then follows from winnowing co-location:
+    # all rows sharing an anchor land in one bucket, so every true match
+    # is certified by SOME bucket, and the final distinct absorbs the
+    # partition kernel's extra (true) certifications.
+    part_out = list(partition_covered_positions(iter(buckets), 8))
+    part = (
+        set(zip(part_out[0]["doc_id"], part_out[0]["pos"]))
+        if part_out
+        else set()
+    )
+    assert part >= per_bucket
+    # brute-force soundness check of every partition-kernel hit
+    tok_at = {}  # (doc, gpos) -> token
+    for r in whole.itertuples(index=False):
+        for i, t in enumerate(r.snip):
+            tok_at[(int(r.doc_id), int(r.start) + i)] = t
+    def gram(doc, pos):
+        g = tuple(
+            tok_at.get((doc, pos + i)) for i in range(8)
+        )
+        return None if any(x is None for x in g) else g
+    for doc, pos in part:
+        g = gram(doc, pos)
+        assert g is not None
+        assert any(
+            gram(d2, p2) == g
+            for (d2, p2) in tok_at
+            if d2 != doc and gram(d2, p2) is not None
+        )
