@@ -82,6 +82,81 @@ DECODE_STATS_SCHEMA = StructType(
 )
 
 
+import os as _os
+
+_MM_CHAIN_ATTR = "_svh_mm_chain"
+
+
+def _compose_kernels(kernels):
+    """Compose batch-iterator transformers into one: each kernel is an
+    ``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` generator, so
+    composition streams batch-by-batch (memory stays one batch per
+    stage, exactly as the chained mapInPandas would hold)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for k in kernels:
+            it = k(it)
+        yield from it
+
+    return run
+
+
+def _map_stage(
+    df: DataFrame, in_cols, batches, out_schema: StructType
+) -> DataFrame:
+    """``df.select(in_cols).mapInPandas(batches, out_schema)`` with
+    transparent stage FUSION (optimization guide §4: every Python stage
+    pays a JVM->Arrow->Python->Arrow->JVM round-trip of all its columns —
+    for chained payload transforms that ships the heavy binary column
+    across the boundary 2x per stage for no reason).
+
+    When ``df`` itself came from ``_map_stage`` (pipelines like
+    synthetic payloads -> resize -> decode-stats), the kernels are
+    composed into ONE mapInPandas over the ORIGINAL input: intermediate
+    payload bytes never leave the Python worker. The composed kernels
+    see bit-identical pandas input (each kernel consumes exactly the
+    frames its predecessor yields), so results are unchanged; only the
+    number of boundary crossings drops. Fusion only fires when the
+    previous stage's declared output covers ``in_cols`` and can be
+    disabled with SVH_MM_FUSE=0 (the un-fused plan is the debugging
+    view).
+    """
+    in_cols = list(in_cols)
+    chain = getattr(df, _MM_CHAIN_ATTR, None)
+    if (
+        chain is not None
+        and _os.environ.get("SVH_MM_FUSE", "1") != "0"
+        and set(in_cols) <= set(chain["out_names"])
+    ):
+        kernels = chain["kernels"] + [batches]
+        out = chain["root"].select(*chain["root_cols"]).mapInPandas(
+            _compose_kernels(kernels), out_schema
+        )
+        object.__setattr__(
+            out,
+            _MM_CHAIN_ATTR,
+            {
+                "root": chain["root"],
+                "root_cols": chain["root_cols"],
+                "kernels": kernels,
+                "out_names": [f.name for f in out_schema.fields],
+            },
+        )
+        return out
+    out = df.select(*in_cols).mapInPandas(batches, out_schema)
+    object.__setattr__(
+        out,
+        _MM_CHAIN_ATTR,
+        {
+            "root": df,
+            "root_cols": in_cols,
+            "kernels": [batches],
+            "out_names": [f.name for f in out_schema.fields],
+        },
+    )
+    return out
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", media_type: str = "image/fake"
 ) -> DataFrame:
@@ -273,7 +348,7 @@ def decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, DECODE_STATS_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, DECODE_STATS_SCHEMA)
 
 
 def resize(
@@ -319,7 +394,7 @@ def resize(
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col, "payload"], batches, out_schema)
 
 
 def frame_sample(
@@ -355,7 +430,7 @@ def frame_sample(
                     )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "payload").mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col, "payload"], batches, out_schema)
 
 
 def synthetic_raster_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -390,7 +465,7 @@ def synthetic_raster_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 RASTER_STATS_SCHEMA = StructType(
@@ -430,7 +505,7 @@ def raster_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, RASTER_STATS_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, RASTER_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -599,7 +674,7 @@ def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
             yield out
 
-    return df.select(id_col, "payload").mapInPandas(batches, WAV_STATS_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, WAV_STATS_SCHEMA)
 
 
 def synthetic_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -657,7 +732,7 @@ def synthetic_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(wav)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -870,7 +945,7 @@ def avi_frame_sample(
             out["height"] = out["height"].astype("int32")
             yield out
 
-    return df.select(id_col, "payload").mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, VIDEO_FRAME_SCHEMA)
 
 
 def synthetic_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -914,7 +989,7 @@ def synthetic_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_avi(w, h, fps, frames))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 def wav_autocorr_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -955,7 +1030,7 @@ def wav_autocorr_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "payload").mapInPandas(batches, schema)
+    return _map_stage(df, [id_col, "payload"], batches, schema)
 
 
 def resize_raster(
@@ -1017,7 +1092,7 @@ def resize_raster(
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col, "payload"], batches, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1219,7 +1294,7 @@ def synthetic_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_png(w, h, rgb))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 PNG_STATS_SCHEMA = StructType(
@@ -1257,7 +1332,7 @@ def png_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, PNG_STATS_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, PNG_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1552,7 +1627,7 @@ def synthetic_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(gif)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 def gif_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1577,7 +1652,7 @@ def gif_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, PNG_STATS_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, PNG_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2036,7 +2111,7 @@ def synthetic_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 JPEG_STATS_SCHEMA = StructType(
@@ -2083,7 +2158,7 @@ def jpeg_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, JPEG_STATS_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, JPEG_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2485,7 +2560,7 @@ def synthetic_jpeg_color_payloads(
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 JPEG_COLOR_STATS_SCHEMA = StructType(
@@ -2540,9 +2615,7 @@ def jpeg_color_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(
-        batches, JPEG_COLOR_STATS_SCHEMA
-    )
+    return _map_stage(df, [id_col, "payload"], batches, JPEG_COLOR_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2666,7 +2739,7 @@ def synthetic_mulaw_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 payloads.append(wav)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 WAV_SAMPLES_SCHEMA = StructType(
@@ -2706,7 +2779,7 @@ def wav_decoded_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, WAV_SAMPLES_SCHEMA)
+    return _map_stage(df, [id_col, "payload"], batches, WAV_SAMPLES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2986,7 +3059,7 @@ def synthetic_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 payloads.append(encode_wav_adpcm(rate, samples))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 def synthetic_adpcm_multiblock_payloads(
@@ -3026,7 +3099,7 @@ def synthetic_adpcm_multiblock_payloads(
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 ADPCM_SAMPLES_SCHEMA = StructType(
@@ -3065,9 +3138,7 @@ def adpcm_decoded_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(
-        batches, ADPCM_SAMPLES_SCHEMA
-    )
+    return _map_stage(df, [id_col, "payload"], batches, ADPCM_SAMPLES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3125,7 +3196,7 @@ def synthetic_raster_payloads_with_dups(
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, out_schema)
+    return _map_stage(df, [id_col], batches, out_schema)
 
 
 DHASH_SCHEMA = StructType(
@@ -3193,6 +3264,4 @@ def raster_dhash(
         + [df.schema[c] for c in carry]
         + [StructField("dhash", LongType())]
     )
-    return df.select(id_col, *carry, "payload").mapInPandas(
-        batches, schema
-    )
+    return _map_stage(df, [id_col, *carry, "payload"], batches, schema)

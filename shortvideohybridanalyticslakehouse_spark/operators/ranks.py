@@ -112,6 +112,7 @@ def with_distributed_row_number(
     n_buckets: int = 64,
     rn_col: str = "_rn",
     n_col: str = "_n",
+    single_pass: bool = False,
 ) -> DataFrame:
     """Append the exact ``row_number() OVER (PARTITION BY part_cols ORDER BY
     order_cols)`` (ascending, NULLs excluded by the caller) and the group
@@ -120,9 +121,23 @@ def with_distributed_row_number(
     ``order_cols[0]`` must be numeric (it feeds approx_percentile); the
     remaining columns break ties. Adds ``rn_col`` (1-based bigint) and
     ``n_col`` (rows in the group).
+
+    ``single_pass=True`` materializes ``df`` once (localCheckpoint)
+    before the cuts pre-pass: the helper reads its input three times
+    (approx_percentile cuts, bucket counts, the ranked join), so when
+    ``df`` is a DERIVED frame (joins/explodes upstream) the pre-pass
+    re-executes that whole subtree — guide §1.2/§2.4, single execution.
+    The cut values may differ from the recomputed-subtree run only in
+    which sample approx_percentile sees; ANY cut set yields the same
+    exact row numbers (cuts only balance buckets; ordering and offsets
+    are exact regardless), so results are unchanged. Leave False when
+    ``df`` is a bare scan — re-scanning parquet twice is cheaper at
+    scale than materializing the table.
     """
     part_cols = list(part_cols)
     order_cols = list(order_cols)
+    if single_pass and os.environ.get("SVH_RANKS_SINGLE_PASS", "1") != "0":
+        df = df.localCheckpoint()
     v = order_cols[0]
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -198,11 +213,16 @@ def with_distributed_prefix_sum(
     value_col: str,
     out_col: str = "_cum_before",
     n_buckets: int = 64,
+    single_pass: bool = False,
 ) -> DataFrame:
     """Append the EXCLUSIVE prefix sum of ``value_col`` in the total order
     ``order_cols`` (per ``part_cols`` group), without a single-partition
     window — the distributed form of
     ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    ``single_pass``: as in with_distributed_row_number — materialize a
+    derived input once instead of re-executing its subtree for the cuts
+    pre-pass (results identical for any cut set).
 
     Same bucketed two-phase shape as with_distributed_row_number: bucket
     offsets are the cumulative sums of whole earlier buckets, the
@@ -213,6 +233,8 @@ def with_distributed_prefix_sum(
     """
     part_cols = list(part_cols)
     order_cols = list(order_cols)
+    if single_pass and os.environ.get("SVH_RANKS_SINGLE_PASS", "1") != "0":
+        df = df.localCheckpoint()
     v = order_cols[0]
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -301,6 +323,7 @@ def with_distributed_prefix_max(
     value_col: str,
     out_col: str = "_max_before",
     n_buckets: int = 64,
+    single_pass: bool = False,
 ) -> DataFrame:
     """Append the EXCLUSIVE prefix max of ``value_col`` in the total order
     ``order_cols`` (per ``part_cols`` group) — the distributed form of
@@ -319,6 +342,8 @@ def with_distributed_prefix_max(
     """
     part_cols = list(part_cols)
     order_cols = list(order_cols)
+    if single_pass and os.environ.get("SVH_RANKS_SINGLE_PASS", "1") != "0":
+        df = df.localCheckpoint()
     v = order_cols[0]
 
     probs = [i / n_buckets for i in range(1, n_buckets)]

@@ -265,7 +265,7 @@ def q_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = ranks.with_distributed_prefix_sum(
         t, part_cols=[], order_cols=["h", "doc_id"], value_col="tokens",
-        out_col="cum_before",
+        out_col="cum_before", single_pass=True,
     ).select("tokens", "cum_before")
     chunk = F.lit(_CHUNK)
     return c.agg(

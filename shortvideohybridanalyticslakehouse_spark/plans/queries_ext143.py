@@ -78,7 +78,7 @@ def q_curriculum_phase_schedule(
         "doc_id", F.size(F.split(text, " ", -1)).cast("bigint").alias("tokens")
     )
     ranked = ranks.with_distributed_row_number(
-        t, [], ["tokens", "doc_id"]
+        t, [], ["tokens", "doc_id"], single_pass=True
     ).withColumn(
         "phase",
         ranks.ntile_from_rank(F.col("_rn"), F.col("_n"), _PHASES).cast(

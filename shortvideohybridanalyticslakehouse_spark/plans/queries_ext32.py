@@ -200,7 +200,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     ranked = ranks.with_distributed_row_number(
-        freq.withColumn("neg_n", -F.col("n")), [], ["neg_n", "token"]
+        freq.withColumn("neg_n", -F.col("n")), [], ["neg_n", "token"],
+        single_pass=True,
     )
     total = freq.agg(F.sum("n").alias("t"))
     one = ranked.crossJoin(F.broadcast(total)).agg(

@@ -62,6 +62,7 @@ def q_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         part_cols=[],
         order_cols=["h", "doc_id"],
         value_col="n_tok",
+        single_pass=True,
         out_col="cum_before",
     )
     chunk = F.lit(_CHUNK)
@@ -115,7 +116,8 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     vocab = (
         ranks.with_distributed_row_number(
-            freq.withColumn("neg_n", -F.col("n")), [], ["neg_n", "token"]
+            freq.withColumn("neg_n", -F.col("n")), [], ["neg_n", "token"],
+            single_pass=True,
         )
         .filter(F.col("_rn") <= 100)
         .select(F.col("token").alias("v_token"))

@@ -12,6 +12,8 @@ CTEs. Three iterations, damping 0.85, degree-normalized push.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,12 +32,6 @@ _DAMP = "0.85"
 _BASE = "0.15"
 _ITERS = 3
 
-# similarity_graph_triangles flips from lazy (exchange-reuse-shared, the
-# measured-faster shape at fixture scale) to persist-the-candidate-
-# subtree once the corpus is big enough that recomputing the banded join
-# across plan branches dominates (VERDICT r10 #2). Tests monkeypatch
-# this to force the persist path on fixtures.
-_TRI_PERSIST_MIN_DOCS = 1_000_000
 
 
 def _duck_iter(prev: str, out: str) -> str:
@@ -131,6 +127,10 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the combined relation, so each of the _ITERS iterations is one join
     # (edges_deg x rank) + one grouped sum instead of two joins — measured
     # 5.5 -> 3.0 s median at sf0.1 (removes 3 shuffles of the edge list).
+    # r12 NOTE (measured, guide §1): an eager localCheckpoint here was
+    # TRIED and reverted — it serializes the checkpoint job before the
+    # iterations (4.4 -> 5.3 s median at sf0.1), whereas the lazy persist
+    # materializes inside the first iteration's action with full overlap.
     from pyspark.sql import Window as _W
 
     edges = edges.withColumn(
@@ -238,18 +238,20 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle shape (work ∝ Σ d_fwd², never Σ d² on hub nodes).
     """
     docs = load_table(spark, sf_dir, "documents", ensure_parallelism=True)
-    # LAZY below the threshold (round-5 measurement: all three uses of
-    # the oriented edge list live in ONE job where exchange reuse shares
-    # many shuffles — persisting measured ~6.2-7.8 s warm vs ~5.4 s lazy
-    # on local[32]); PERSIST above it (VERDICT r10 #2 made the round-5
-    # scale note code): the plan audit shows the banded-join subtree
-    # recomputed across branches, and at 100 TB that subtree is hours —
-    # persist pairs + oriented so the candidate generation runs ONCE,
-    # then release both via finalize_bounded (the result is one row).
-    n_docs = load_table(
-        spark, sf_dir, "documents", ensure_parallelism=False
-    ).count()
-    do_persist = n_docs >= _TRI_PERSIST_MIN_DOCS
+    # r12 (guide §1.2/§2.4, supersedes the r5/r10 lazy-vs-persist split):
+    # the oriented edge list feeds FOUR plan branches (e1/e2/e3 + the
+    # degree sum) and pairs feeds two more — lazily that re-runs the
+    # banded candidate join per branch (exchange reuse only dedups up to
+    # the last common Exchange; profiled r12 baseline: the 16 s-CPU
+    # signature stage executed in both the wedge join and the degree
+    # branch), and the ~6600-line analyzed plan costs ~2-3 s of driver
+    # planning per trial. EAGER localCheckpoint of pairs + oriented runs
+    # the candidate generation exactly once and truncates every branch's
+    # lineage to a scan of materialized blocks — strictly better than
+    # both old regimes at every scale (the r5 "persist slower" result
+    # was persist's materialize-then-read WITH the full lineage still in
+    # the plan; checkpoint removes the planning cost too). Measured
+    # sf0.1: 4.5 -> 2.5 s median.
     with_sig = dedupfns.minhash_signatures_df(
         docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
     )
@@ -260,8 +262,11 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") * 16 >= 4)
         .select("doc_a", "doc_b")
     )
-    if do_persist:
-        pairs = pairs.persist()
+    # SVH_TRI_CKPT=0 restores the lazy (recompute-per-branch) plan for
+    # A/B measurement on a noisy host; default is the checkpointed path.
+    _ckpt = os.environ.get("SVH_TRI_CKPT", "1") != "0"
+    if _ckpt:
+        pairs = pairs.localCheckpoint()
     und = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -275,8 +280,8 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v")
     )
-    if do_persist:
-        oriented = oriented.persist()
+    if _ckpt:
+        oriented = oriented.localCheckpoint()
     e1 = oriented.alias("e1")
     e2 = oriented.select(
         F.col("u").alias("mid"), F.col("v").alias("w")
@@ -312,6 +317,8 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
-    if do_persist:
+    # one-row result: materialize it, then release the checkpointed
+    # candidate/edge blocks immediately
+    if _ckpt:
         return finalize_bounded(result, pairs, oriented)
     return result

@@ -15,6 +15,8 @@ ONE query and gets the funnel a curation pipeline actually executes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,7 +33,10 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext9 import (
     QF_MIN_TOKENS,
     QF_MIN_TTR,
 )
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _FUNNEL_ORACLE = rf"""
@@ -167,21 +172,23 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = s1.join(qdoc.filter(pass_all).select("doc_id"), "doc_id", "left_semi")
 
-    # Deliberately LAZY at THIS scale (round-5 measurement): persisting
-    # this hub frame serializes the pipeline into materialize-then-read
-    # and costs ~9 s vs ~5.3 s for the fully pipelined multi-branch job
-    # on local[32], where Catalyst's exchange reuse shares the expensive
-    # subtrees across the six stage aggregates — and a lazy plan leaks no
-    # cache blocks. SCALE NOTE: where reuse does NOT fire (the audit
-    # shows some stage branches recompute), a 100 TB run flips to
-    # persisting s3 (the PageRank finalize_bounded pattern) — the
-    # measured local trade, not a universal rule.
+    # r12 (guide §1.2/§2.4; supersedes the r5 lazy-vs-persist note): the
+    # six stage aggregates + the near-dup/contamination probes re-run the
+    # funnel prefix wherever exchange reuse does not fire (the r5 "persist
+    # slower" measurement was persist's materialize-then-read WITH the
+    # full lineage still planned per branch). EAGER localCheckpoint of s3
+    # (post exact-dedup) and s4 (post near-dedup) runs each funnel stage
+    # exactly once and truncates every downstream branch's lineage.
+    # SVH_FUNNEL_CKPT=0 restores the lazy plan for paired A/B.
+    _ck = os.environ.get("SVH_FUNNEL_CKPT", "1") != "0"
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id").asc())
     s3 = (
         s2.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if _ck:
+        s3 = s3.localCheckpoint()
 
     with_sig = dedupfns.minhash_signatures_df(
         s3, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
@@ -195,6 +202,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     s4 = s3.join(near_drop, "doc_id", "left_anti")
+    if _ck:
+        s4 = s4.localCheckpoint()
 
     holdout = base.filter(hash60(F.col("doc_id").cast("string")) % 10 == 9)
     hold_g = (
@@ -217,7 +226,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"),
         ).select("stage_no", "stage", "n_docs", "n_tokens")
 
-    return (
+    report = (
         stage(base, 0, "raw")
         .unionByName(stage(s1, 1, "language"))
         .unionByName(stage(s2, 2, "quality"))
@@ -226,3 +235,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s5, 5, "decontaminated"))
         .orderBy("stage_no")
     )
+    if _ck:
+        # 6-row report: materialize, then release the checkpointed stage
+        # frames (cache lifetimes stay query-scoped — the hygiene gate)
+        return finalize_bounded(report, s3, s4)
+    return report

@@ -94,7 +94,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     binned = ranks.with_distributed_row_number(
-        scored, [], ["bits", "doc_id"]
+        scored, [], ["bits", "doc_id"], single_pass=True
     ).withColumn(
         "bucket", ranks.ntile_from_rank(F.col("_rn"), F.col("_n"), 5)
     )

@@ -98,7 +98,7 @@ def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").cast("bigint").alias("net"))
     )
     cum = with_distributed_prefix_sum(
-        per_ts, [], ["ts"], "net", out_col="_before"
+        per_ts, [], ["ts"], "net", out_col="_before", single_pass=True
     ).withColumn("conc", (F.col("_before") + F.col("net")).cast("bigint"))
     n_sessions = sessions.agg(F.count(F.lit(1)).alias("n_sessions"))
     return (

@@ -154,7 +154,8 @@ def q_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_cents().alias("cents")
     )
     ranked = with_distributed_row_number(
-        per_user, [], ["cents", "user_id"], n_buckets=16, rn_col="_i", n_col="_n"
+        per_user, [], ["cents", "user_id"], n_buckets=16, rn_col="_i",
+        n_col="_n", single_pass=True,
     )
     return ranked.agg(
         F.max("_n").cast("bigint").alias("n_users"),

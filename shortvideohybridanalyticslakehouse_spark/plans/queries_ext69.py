@@ -59,7 +59,8 @@ def q_user_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_cents().alias("cents")
     )
     ranked = with_distributed_row_number(
-        per_user, [], ["cents", "user_id"], n_buckets=16, rn_col="_i", n_col="_n"
+        per_user, [], ["cents", "user_id"], n_buckets=16, rn_col="_i",
+        n_col="_n", single_pass=True,
     ).withColumn("decile", ntile_from_rank(F.col("_i"), F.col("_n"), 10))
     d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),

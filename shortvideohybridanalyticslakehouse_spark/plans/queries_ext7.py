@@ -83,6 +83,7 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.select("c_mktsegment", "c_custkey", "total_spend"),
         part_cols=["c_mktsegment"],
         order_cols=["total_spend", "c_custkey"],
+        single_pass=True,
     )
     # tie groups share percent_rank (RANK = min rn) and cume_dist (max rn)
     w_ties = Window.partitionBy("c_mktsegment", "total_spend")

@@ -96,6 +96,7 @@ def q_part_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["_negc", "l_partkey"],
         value_col="cents",
         out_col="_cum_before",
+        single_pass=True,
     )
     tot = rev.agg(F.sum("cents").alias("tot"))
     classed = pre.crossJoin(F.broadcast(tot)).select(

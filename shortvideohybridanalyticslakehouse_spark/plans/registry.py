@@ -25,8 +25,31 @@ def finalize_bounded(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """
     rows = result.collect()
     for df in cached:
-        df.unpersist()
+        release_materialized(df)
     return result.sparkSession.createDataFrame(rows, result.schema)
+
+
+def release_materialized(df: DataFrame) -> None:
+    """Release the storage behind a persisted OR localCheckpoint'd frame.
+
+    ``unpersist()`` only covers CacheManager entries; an eager
+    localCheckpoint leaves its block-backed RDD registered in
+    getPersistentRDDs until the ContextCleaner's weak-ref pass runs,
+    which in a long bench session is arbitrarily late. For a
+    checkpointed frame the analyzed plan is a LogicalRDD wrapping that
+    RDD — unpersist it directly. Callers must be DONE with the frame:
+    a localCheckpoint has no lineage left to recompute from.
+    """
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover - defensive
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - py4j surface drift
+        pass
 
 
 def register(name: str, oracle: str | None):

@@ -41,17 +41,19 @@ def test_no_persisted_rdds_after_query(spark, name):
     assert not leaked, f"{name}: persisted RDD(s) outlive the query: {leaked}"
 
 
-def test_triangles_persist_path_equals_lazy(spark, monkeypatch):
-    """VERDICT r10 #2: above _TRI_PERSIST_MIN_DOCS the triangles lane
-    persists the banded-candidate subtree (pairs + oriented) and
-    releases both via finalize_bounded. Forced on the fixture via
-    monkeypatch: identical single-row result, zero leaked cache."""
-    from shortvideohybridanalyticslakehouse_spark.plans import queries_ext38
+def test_release_materialized_frees_checkpoint_blocks(spark):
+    """r12: iterative builders switched persist -> eager localCheckpoint
+    (plan truncation). Checkpoint blocks are NOT CacheManager entries —
+    registry.release_materialized must drop them from the context's
+    persistent-RDD registry immediately, not whenever the
+    ContextCleaner's weak-ref pass happens to run."""
+    from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+        release_materialized,
+    )
 
-    fn, _ = REGISTRY["similarity_graph_triangles"]
-    lazy = fn(spark, SF_DIR).collect()
-    monkeypatch.setattr(queries_ext38, "_TRI_PERSIST_MIN_DOCS", 1)
     before = _persisted_ids(spark)
-    persisted = fn(spark, SF_DIR).collect()
-    assert persisted == lazy
+    df = spark.range(1000).localCheckpoint()
+    assert df.count() == 1000
+    assert _persisted_ids(spark) - before, "checkpoint registered no blocks"
+    release_materialized(df)
     assert _persisted_ids(spark) - before == set()

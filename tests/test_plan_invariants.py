@@ -75,6 +75,11 @@ BNLJ_BOUNDED_ALLOWLIST: dict[str, str] = {
     "packed_sequence_manifest": _GRID,
     "pareto_price_size_frontier": _GRID,
     "part_abc_classification": _GRID,
+    # r12: single_pass localCheckpoint truncates the rank input's
+    # lineage, removing the unrelated keys=[] marker that previously
+    # (accidentally) satisfied the scan — the BNLJ itself was always
+    # this same bounded bucket-grid shape.
+    "perplexity_bucket_mixture": _GRID,
     "rfm_segments": _GRID,
     "user_spend_gini": _GRID,
     "user_spend_lorenz_deciles": _GRID,

@@ -100,6 +100,8 @@ def main() -> None:
             lines.append(
                 f"  stage {s['stageId']}: run={s.get('executorRunTime')}ms "
                 f"cpu={int((s.get('executorCpuTime') or 0)/1e6)}ms "
+                f"gc={s.get('jvmGcTime')}ms "
+                f"deser={s.get('executorDeserializeTime')}ms "
                 f"tasks={s.get('numCompleteTasks')} "
                 f"shr={s.get('shuffleReadBytes', 0)}B shw={s.get('shuffleWriteBytes', 0)}B "
                 f"in={s.get('inputBytes', 0)}B  name={s.get('name', '')[:90]}"
