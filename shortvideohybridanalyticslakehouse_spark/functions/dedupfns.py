@@ -21,6 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 
 DEFAULT_SHINGLE_K = 3
 DEFAULT_NUM_HASHES = 16
@@ -580,8 +583,8 @@ def reband_hot_buckets(
         if not hot_rows:
             break
         spark = banded.sparkSession
-        hot_df = spark.createDataFrame(
-            [(r["bkey"], r["_n"]) for r in hot_rows], "bkey string, _pn long"
+        hot_df = local_rows_df(
+            spark, [(r["bkey"], r["_n"]) for r in hot_rows], "bkey string, _pn long"
         )
         flagged = banded.join(F.broadcast(hot_df), "bkey", "left")
         cold = flagged.filter(F.col("_pn").isNull()).drop("_pn")

@@ -570,6 +570,13 @@ def delete_keys_bucketed(
 
     loc = table_location(spark, table_name)
     recover_bucketed_table(loc)
+    # Foreign-file guard FIRST: a directory listing is cheap and
+    # deterministic, so any non-bucket-named, non-sidecar file aborts
+    # with the same "unrecognized file" error as every other maintenance
+    # primitive regardless of whether the stray happens to contain an
+    # erased key (the erasure-hit probe below is data-dependent and
+    # would otherwise race it for which loud abort fires).
+    by_bucket, extras = _scan_bucket_files(loc)
     vals = list(key_values)
     hits = (
         spark.table(table_name)
@@ -588,8 +595,6 @@ def delete_keys_bucketed(
     touched = sorted({_bucket_of(os.path.basename(r.f)) for r in hits})
     if not touched:
         return 0, 0
-
-    by_bucket, extras = _scan_bucket_files(loc)
 
     tmp = loc + "._tmp"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -29,6 +29,9 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext6 import (
     _DUCK_SHINGLES_3,
     connected_components,
 )
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -261,8 +264,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "pid int, rid_off bigint"
+    off_df = local_rows_df(
+        spark, offsets or [(0, 0)], "pid int, rid_off bigint"
     )
     purchases = ranged.join(F.broadcast(off_df), "pid").select(
         (

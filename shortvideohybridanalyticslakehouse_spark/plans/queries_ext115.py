@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import (
     finalize_bounded,
     register,
@@ -169,7 +172,8 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.unpersist()
         raise
 
-    result = spark.createDataFrame(
+    result = local_rows_df(
+        spark,
         out_rows,
         "round bigint, vec_id bigint, rel bigint, max_sim bigint, "
         "mmr_score bigint",

@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -155,10 +158,11 @@ def q_shapley_channel_attribution(
         .groupBy("s", "sz")
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("val"))
     )
-    wtab = spark.createDataFrame(
-        [(s, w) for s, w in _W.items()], "sz bigint, w bigint"
+    wtab = local_rows_df(
+        spark, [(s, w) for s, w in _W.items()], "sz bigint, w bigint"
     )
-    chans = spark.createDataFrame(
+    chans = local_rows_df(
+        spark,
         [(c, 1 << i) for i, c in enumerate(CHANNELS)],
         "channel string, bit bigint",
     )

@@ -32,10 +32,19 @@ iteration cost."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from shortvideohybridanalyticslakehouse_spark.functions.driverfold import (
+    spark_round,
+    value_iteration_absorption,
+)
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -249,9 +258,57 @@ def q_markov_removal_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Per channel: full-chain and channel-removed start->conversion
-    absorption probabilities (K=60 in-plan value iterations), the
-    removal effect, and normalized attribution shares."""
+    absorption probabilities (K=60 value iterations), the removal effect,
+    and normalized attribution shares.
+
+    r13: the K x NF x NF fold over the 35-double matrix is O(1) scalar
+    work — as a Catalyst expression it cost seconds of codegen/planning
+    per trial (r12 profile: run>>cpu stages on a 4-row frame) and gains
+    nothing from the cluster. The matrix is collected once (the events
+    scan/aggregation stays fully distributed) and folded on the driver
+    with bit-identical arithmetic (functions/driverfold.py; guide §1.2).
+    SVH_MARKOV_DRIVER=0 keeps the in-plan expression for A/B.
+    """
     pmat = transition_pmat(spark, sf_dir)
+    if os.environ.get("SVH_MARKOV_DRIVER", "1") == "1":
+        p = list(pmat.collect()[0][0])
+        if len(p) == _NF * _NT:
+            full = value_iteration_absorption(p, _NF, _NT, _K, 0)
+            out = []
+            for i, c in enumerate(CHANNELS):
+                removed = value_iteration_absorption(p, _NF, _NT, _K, i + 2)
+                re = (
+                    spark_round(1.0 - removed / full, 6)
+                    if full > 0
+                    else None
+                )
+                out.append(
+                    (c, spark_round(full, 6), spark_round(removed, 6), re)
+                )
+            # F.sum over doubles: first non-null value, then += in row order
+            re_tot = None
+            for r in out:
+                if r[3] is not None:
+                    re_tot = r[3] if re_tot is None else re_tot + r[3]
+            rows = [
+                (
+                    c,
+                    cf,
+                    cr,
+                    re,
+                    spark_round(re / re_tot, 6)
+                    if re_tot is not None and re_tot > 0 and re is not None
+                    else None,
+                )
+                for (c, cf, cr, re) in out
+            ]
+            return local_rows_df(
+                spark,
+                rows,
+                "channel string, conv_prob_full double, "
+                "conv_prob_removed double, removal_effect double, "
+                "attribution_share double",
+            )
 
     def viter(rc):
         """K rounds of v' = P_transient v + P_conv with v[rc] pinned 0."""
@@ -282,7 +339,8 @@ def q_markov_removal_attribution(
             1,
         )
 
-    scen = spark.createDataFrame(
+    scen = local_rows_df(
+        spark,
         [(c, i + 2) for i, c in enumerate(CHANNELS)],
         "channel string, rc int",
     )

@@ -18,8 +18,15 @@ then a bounded fold over the broadcast 35-cell matrix."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from shortvideohybridanalyticslakehouse_spark.functions.driverfold import (
+    expected_steps_fold,
+    spark_round,
+)
 
 from shortvideohybridanalyticslakehouse_spark.plans.queries_ext122 import (
     _EDGES_CTE,
@@ -28,6 +35,9 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext122 import (
     _NT,
     CHANNELS,
     transition_pmat,
+)
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
 )
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 
@@ -70,8 +80,25 @@ FROM folded f, states s
 def q_markov_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected touches to absorption (conversion or abandonment) from
     start and from each channel — K=60 truncated Neumann iterations of
-    h = 1 + Q h over the shared journey chain."""
+    h = 1 + Q h over the shared journey chain.
+
+    r13: the fold over the collected 35-double matrix runs on the driver
+    (bit-identical arithmetic, functions/driverfold.py) — the in-plan
+    Catalyst expression cost seconds of codegen on a 1-row frame and is
+    O(1) work (guide §1.2). SVH_MARKOV_DRIVER=0 keeps the in-plan fold.
+    """
     pmat = transition_pmat(spark, sf_dir)
+    if os.environ.get("SVH_MARKOV_DRIVER", "1") == "1":
+        p = list(pmat.collect()[0][0])
+        if len(p) == _NF * _NT:
+            h = expected_steps_fold(p, _NF, _NT, _K)
+            rows = [
+                (n, spark_round(h[i], 6))
+                for i, n in enumerate(_STATE_NAMES)
+            ]
+            return local_rows_df(
+                spark, rows, "state string, expected_steps double"
+            )
 
     def inner(acc, s):
         return F.aggregate(
@@ -93,7 +120,8 @@ def q_markov_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.lit(_NF)), lambda s: inner(acc, s)
         ),
     )
-    states = spark.createDataFrame(
+    states = local_rows_df(
+        spark,
         [(n, i + 1) for i, n in enumerate(_STATE_NAMES)],
         "state string, sidx int",
     )

@@ -43,6 +43,9 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext115 import (
     _int_dot,
     _int_vec,
 )
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import (
     finalize_bounded,
     register,
@@ -396,8 +399,8 @@ def q_kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     .localCheckpoint()
                 )
-    result = spark.createDataFrame(
-        out_rows, "round bigint, vec_id bigint, dist_sq bigint"
+    result = local_rows_df(
+        spark, out_rows, "round bigint, vec_id bigint, dist_sq bigint"
     )
     return finalize_bounded(result)
 

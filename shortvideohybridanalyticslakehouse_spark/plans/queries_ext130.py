@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import (
     finalize_bounded,
     register,
@@ -147,7 +150,8 @@ def q_esd_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         daily.unpersist()
         raise
-    result = spark.createDataFrame(
+    result = local_rows_df(
+        spark,
         out_rows,
         "round bigint, day timestamp, n_events bigint, z_micro bigint",
     )

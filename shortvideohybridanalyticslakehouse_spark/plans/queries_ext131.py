@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions.dedupfns import hash60
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import (
     finalize_bounded,
     register,
@@ -379,8 +382,8 @@ def q_binseg_daily_changepoints(
     except Exception:
         pre.unpersist()
         raise
-    result = spark.createDataFrame(
-        out_rows, "split_rank bigint, day timestamp, cost_micro bigint"
+    result = local_rows_df(
+        spark, out_rows, "split_rank bigint, day timestamp, cost_micro bigint"
     )
     return finalize_bounded(result, pre)
 

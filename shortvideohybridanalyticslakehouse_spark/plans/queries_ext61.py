@@ -33,6 +33,9 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext import (
     _DUCK_BASES,
     _duck_shingles,
 )
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -153,6 +156,6 @@ def q_similarity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.append((rnd, surv, prev_n - surv))
         prev_n = surv
         alive = nxt
-    return spark.createDataFrame(
-        stats, "round int, survivors bigint, removed bigint"
+    return local_rows_df(
+        spark, stats, "round int, survivors bigint, removed bigint"
     )

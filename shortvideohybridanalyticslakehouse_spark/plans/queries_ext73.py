@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions.text import WORD_REGEX
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -174,8 +177,10 @@ def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines by the anchored double-separator string encoding."""
     vocab = _build_vocab(spark, sf_dir)
     _, out = _train(vocab, _ROUNDS, merge_last=False)
-    return spark.createDataFrame(
-        out, "round int, left_sym string, right_sym string, pair_count bigint"
+    return local_rows_df(
+        spark,
+        out,
+        "round int, left_sym string, right_sym string, pair_count bigint",
     )
 
 

@@ -25,6 +25,8 @@ precedent (medoids, k-core round counts).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,13 +152,82 @@ def _assign_col(cents: list[list[int]]):
     return best
 
 
+def _kmeans_partials_kernel(
+    assign_cents: list[list[int]],
+    measure_cents: list[list[int]] | None = None,
+):
+    """mapInPandas kernel: per input batch, exact-integer assignment to
+    the K ``assign_cents`` (argmin squared-L2, ties to lowest k — the
+    same total order as _assign_col's F.least on struct(dist, k)) and
+    PARTIAL per-(cluster, dim) sums/counts plus the per-cluster partial
+    inertia measured against ``measure_cents`` (defaults to the
+    assignment centroids; the final stats pass assigns with the LAST
+    round's centroids but measures distance to the UPDATED ones, exactly
+    like the old plan's final_dist CASE). All arithmetic is int64
+    (micro-quantized inputs keep every product far below 2^63), and
+    integer addition is associative — the numpy fold is bit-identical to
+    the Catalyst HOF it replaces, just ~10x cheaper per row (guide §4.2:
+    the r12 profile shows 5-7 s of executor CPU per Lloyd round at sf0.1
+    in the zip_with/aggregate assignment + posexplode re-aggregation)."""
+    mc = measure_cents if measure_cents is not None else assign_cents
+
+    def fn(it):
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(assign_cents, dtype=np.int64)  # K x D
+        M = np.array(mc, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)  # n x D
+            d = np.empty((len(X), len(C)), dtype=np.int64)
+            for k in range(len(C)):
+                diff = X - C[k]
+                d[:, k] = np.einsum("ij,ij->i", diff, diff)
+            assign = np.argmin(d, axis=1)
+            rows = {"k": [], "d": [], "s": [], "n": [], "inert": []}
+            for k in range(len(C)):
+                mask = assign == k
+                n = int(mask.sum())
+                if n == 0:
+                    continue
+                sums = X[mask].sum(axis=0)
+                diff_m = X[mask] - M[k]
+                inert = int(np.einsum("ij,ij->", diff_m, diff_m))
+                dim = X.shape[1]
+                rows["k"].extend([k] * dim)
+                rows["d"].extend(range(dim))
+                rows["s"].extend(int(v) for v in sums)
+                rows["n"].extend([n] * dim)
+                rows["inert"].extend([inert] + [0] * (dim - 1))
+            yield pd.DataFrame(rows).astype(
+                {"k": "int32", "d": "int32", "s": "int64",
+                 "n": "int64", "inert": "int64"}
+            )
+
+    return fn
+
+
+_KMEANS_PARTIAL_SCHEMA = "k int, d int, s long, n long, inert long"
+
+
 @register("kmeans_lloyd_integer", _KMEANS_ORACLE)
 def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three exact-integer Lloyd rounds over quantized embeddings; the
     oracle replays assignment and centroid updates round for round.
-    Output: per-cluster size, integer inertia, centroid checksum."""
+    Output: per-cluster size, integer inertia, centroid checksum.
+
+    r13 (guide §4.2): each round's assignment + per-dim re-aggregation
+    runs as ONE numpy int64 kernel per partition (mapInPandas) instead
+    of a K x D Catalyst HOF per row plus a posexplode of N x D rows —
+    integer arithmetic is associative, so the results are bit-identical
+    (tests/test_ext91_kmeans_kernel.py proves round-for-round equality
+    vs the HOF path). SVH_KMEANS_ARROW=0 restores the old plan.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     q = _quantized(emb).localCheckpoint(eager=True)
+    use_arrow = os.environ.get("SVH_KMEANS_ARROW", "1") == "1"
 
     cents = [
         [int(v) for v in r.xq]
@@ -164,6 +235,69 @@ def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
+    if use_arrow and cents:
+        prev_cents = cents
+        for _round in range(_ROUNDS):
+            partials = (
+                q.select("xq")
+                .mapInPandas(
+                    _kmeans_partials_kernel(cents), _KMEANS_PARTIAL_SCHEMA
+                )
+                .groupBy("k", "d")
+                .agg(
+                    F.sum("s").alias("s"),
+                    F.sum("n").alias("n"),
+                )
+                .collect()
+            )
+            by_k: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in partials:
+                by_k.setdefault(int(r.k), {})[int(r.d)] = (int(r.s), int(r.n))
+
+            def trunc_div(s: int, n: int) -> int:
+                return -((-s) // n) if s < 0 else s // n
+
+            new_cents = []
+            for k in range(_K):
+                if k in by_k:
+                    new_cents.append(
+                        [
+                            trunc_div(by_k[k][d][0], by_k[k][d][1])
+                            for d in range(len(cents[k]))
+                        ]
+                    )
+                else:  # empty cluster: keep previous centroid
+                    new_cents.append(cents[k])
+            prev_cents, cents = cents, new_cents
+        # final stats: assign with the LAST round's centroids (the old
+        # plan's `assigned` was built before the last update) but
+        # measure inertia against the UPDATED centroids (its final_dist
+        # CASE used the post-loop cents)
+        final = (
+            q.select("xq")
+            .mapInPandas(
+                _kmeans_partials_kernel(prev_cents, cents),
+                _KMEANS_PARTIAL_SCHEMA,
+            )
+            .groupBy(F.col("k").cast("int").alias("cluster"))
+            .agg(
+                F.sum(F.when(F.col("d") == 0, F.col("n"))).alias(
+                    "n_members"
+                ),
+                F.sum("inert").cast("bigint").alias("inertia"),
+            )
+        )
+        checksums = {k: sum(abs(v) for v in c) for k, c in enumerate(cents)}
+        cks = F.create_map(
+            *[x for k, s in checksums.items() for x in (F.lit(k), F.lit(s))]
+        )
+        return final.select(
+            "cluster",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "inertia",
+            cks[F.col("cluster")].cast("bigint").alias("centroid_abs_sum"),
+        )
+
     assigned = None
     for _round in range(_ROUNDS):
         assigned = q.select(

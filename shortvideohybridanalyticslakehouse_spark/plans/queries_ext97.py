@@ -18,9 +18,18 @@ Determinism notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.functions.driverfold import (
+    spark_round,
+    stationary_power_fold,
+)
+from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+    local_rows_df,
+)
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
@@ -370,8 +379,8 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     states = ["click", "error", "purchase", "signup", "view"]
-    sdf = spark.createDataFrame(
-        [(s, i + 1) for i, s in enumerate(states)], "s string, idx int"
+    sdf = local_rows_df(
+        spark, [(s, i + 1) for i, s in enumerate(states)], "s string, idx int"
     )
     f_s = F.broadcast(sdf).alias("f")
     t_s = F.broadcast(sdf.select(F.col("s").alias("s2"), F.col("idx").alias("idx2"))).alias("t")
@@ -405,6 +414,22 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct((F.col("i") * _N_STATES + F.col("j")).alias("o"), F.col("p")))
         ).alias("cells")
     ).select(F.transform(F.col("cells"), lambda c: c["p"]).alias("p"))
+
+    # r13: the 20-iteration power fold over the collected 25-double
+    # matrix is O(1) scalar work — folded on the driver with
+    # bit-identical arithmetic (functions/driverfold.py, guide §1.2)
+    # instead of a giant Catalyst expression. SVH_MARKOV_DRIVER=0 keeps
+    # the in-plan fold for A/B.
+    if os.environ.get("SVH_MARKOV_DRIVER", "1") == "1":
+        pm = list(pmat.collect()[0][0])
+        if len(pm) == _N_STATES * _N_STATES:
+            pi = stationary_power_fold(pm, _N_STATES, _N_ITER)
+            rows = [
+                (s, spark_round(pi[i], 8)) for i, s in enumerate(states)
+            ]
+            return local_rows_df(
+                spark, rows, "state string, stationary_prob double"
+            ).orderBy("state")
 
     def step(acc, pm):
         return F.transform(

@@ -26,7 +26,16 @@ def finalize_bounded(result: DataFrame, *cached: DataFrame) -> DataFrame:
     rows = result.collect()
     for df in cached:
         release_materialized(df)
-    return result.sparkSession.createDataFrame(rows, result.schema)
+    # VALUES-backed local relation instead of a Python-RDD parallelize:
+    # every downstream action on the finalized frame otherwise pays ~0.5 s
+    # of Python-worker round-trips for a handful of rows (guide §4/§5;
+    # falls back to createDataFrame for any value without an exact SQL
+    # literal form, and under SVH_LOCALREL=0).
+    from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+        bounded_rows_df,
+    )
+
+    return bounded_rows_df(rows, result.schema, result.sparkSession)
 
 
 def release_materialized(df: DataFrame) -> None:

@@ -28,7 +28,8 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("svh-dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs("plans/r12", exist_ok=True)
+    outdir = os.environ.get("SVH_PLANS_DIR", "plans/r13")
+    os.makedirs(outdir, exist_ok=True)
     for name in names:
         fn, _ = registry[name]
         t0 = time.time()
@@ -37,7 +38,7 @@ def main() -> None:
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        path = f"plans/r12/{name}_{suffix}.txt"
+        path = f"{outdir}/{name}_{suffix}.txt"
         with open(path, "w") as fh:
             fh.write(f"query: {name}\nsf_dir: {sf_dir}\n")
             fh.write(f"plan-build wall seconds (includes any bounded "
