@@ -148,6 +148,54 @@ def partition_covered_positions(batches, min_len: int):
             yield out
 
 
+def partition_covered_positions_capped(batches, min_len: int, max_tokens: int):
+    """Memory-bounded variant (VERDICT r12 #3): the input partition is
+    SORTED by ahash (so anchor groups are contiguous) and carries the
+    ahash column; chunks of WHOLE anchor groups are flushed whenever the
+    buffered token count exceeds ``max_tokens`` — per-task memory is
+    O(max_tokens + largest single group) instead of O(partition).
+
+    Output identity: a certified match's two occurrences share an anchor
+    value, so both rows live in the SAME group and groups are never
+    split — every per-partition match is found in some chunk, and any
+    cross-group match a chunk certifies is a true match the per-group
+    pass would also certify (the same argument as the un-capped kernel;
+    downstream .distinct() absorbs cross-chunk duplicates)."""
+
+    def flush(frames, final: bool):
+        pdf = pd.concat(frames, ignore_index=True)
+        if final:
+            head, tail = pdf, None
+        else:
+            last = pdf["ahash"].iloc[-1]
+            keep = pdf["ahash"] != last
+            head, tail = pdf[keep], pdf[~keep]
+        out = (
+            bucket_covered_positions(head, min_len) if len(head) else None
+        )
+        return out, tail
+
+    buf: list[pd.DataFrame] = []
+    buf_tokens = 0
+    for b in batches:
+        if not len(b):
+            continue
+        buf.append(b)
+        buf_tokens += int(b["snip"].map(len).sum())
+        if buf_tokens >= max_tokens:
+            out, tail = flush(buf, final=False)
+            if out is not None and len(out):
+                yield out
+            buf = [tail] if tail is not None and len(tail) else []
+            buf_tokens = (
+                int(tail["snip"].map(len).sum()) if buf else 0
+            )
+    if buf:
+        out, _ = flush(buf, final=True)
+        if out is not None and len(out):
+            yield out
+
+
 def bucket_covered_positions(
     pdf: pd.DataFrame, min_len: int
 ) -> pd.DataFrame:

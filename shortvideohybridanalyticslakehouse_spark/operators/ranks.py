@@ -44,6 +44,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+)
+
 
 def with_tiny_rank(
     df: DataFrame,
@@ -137,7 +141,10 @@ def with_distributed_row_number(
     part_cols = list(part_cols)
     order_cols = list(order_cols)
     if single_pass and os.environ.get("SVH_RANKS_SINGLE_PASS", "1") != "0":
-        df = df.localCheckpoint()
+        # released when the NEXT registered query builds (the returned
+        # O(rows) plan still reads these blocks, so an in-builder release
+        # is impossible — ADVICE r12)
+        df = defer_release(df.localCheckpoint())
     v = order_cols[0]
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -234,7 +241,10 @@ def with_distributed_prefix_sum(
     part_cols = list(part_cols)
     order_cols = list(order_cols)
     if single_pass and os.environ.get("SVH_RANKS_SINGLE_PASS", "1") != "0":
-        df = df.localCheckpoint()
+        # released when the NEXT registered query builds (the returned
+        # O(rows) plan still reads these blocks, so an in-builder release
+        # is impossible — ADVICE r12)
+        df = defer_release(df.localCheckpoint())
     v = order_cols[0]
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -343,7 +353,10 @@ def with_distributed_prefix_max(
     part_cols = list(part_cols)
     order_cols = list(order_cols)
     if single_pass and os.environ.get("SVH_RANKS_SINGLE_PASS", "1") != "0":
-        df = df.localCheckpoint()
+        # released when the NEXT registered query builds (the returned
+        # O(rows) plan still reads these blocks, so an in-builder release
+        # is impossible — ADVICE r12)
+        df = defer_release(df.localCheckpoint())
     v = order_cols[0]
 
     probs = [i / n_buckets for i in range(1, n_buckets)]

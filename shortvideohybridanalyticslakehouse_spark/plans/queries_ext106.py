@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import (
     load_table,
     scaled_shuffle_partitions,
@@ -95,6 +98,19 @@ FROM ranked WHERE rnk <= 3
 ORDER BY item, rnk
 """
 )
+
+
+def _maybe_ckpt(df, env="SVH_COVIS_CKPT"):
+    """Eagerly materialize a multi-consumer session-items frame ONCE
+    (guide §1.2/§5): the sessionization (events scan + two windows +
+    distinct) otherwise re-executes for every consumer (pairs,
+    per-item counts, session count). Released via finalize_bounded when
+    the bounded result materializes. Env=0 keeps the lazy plan for A/B."""
+    import os
+
+    if os.environ.get(env, "1") == "0":
+        return df, False
+    return df.localCheckpoint(eager=True), True
 
 
 def _bounded_session_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +192,7 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, session-capped against quadratic blowup."""
     ev_scan = load_table(spark, sf_dir, "events", ensure_parallelism=False)
     n_shuf = scaled_shuffle_partitions(ev_scan, rows_per_partition=250_000)
-    bounded = _bounded_session_items(spark, sf_dir)
+    bounded, _ck = _maybe_ckpt(_bounded_session_items(spark, sf_dir))
     pairs = _pairs(bounded, n_shuf)
     item_sessions = bounded.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sess")
@@ -192,7 +208,7 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = item_sessions.select(
         F.col("item").alias("item_b"), F.col("n_sess").alias("sessions_b")
     ).repartition(n_shuf, "item_b")
-    return (
+    result = (
         # per-item stats are O(catalog) — they grow with the data, and
         # the round-9 10x AQE probe disproved the old "AQE will demote"
         # assumption (it only promotes SMJ->broadcast, never the
@@ -221,6 +237,7 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+    return finalize_bounded(result, bounded) if _ck else result
 
 
 @register("item_cf_recommendations", _RECS_ORACLE)

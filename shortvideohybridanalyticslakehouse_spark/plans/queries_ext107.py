@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _TOP_RECS = 3
@@ -191,8 +194,15 @@ def q_covisitation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.agg(((F.min(sec) + F.max(sec)) / 2).cast("bigint").alias("mid"))
     )
     ev_m = ev.crossJoin(anchor)
-    train = _session_items(ev_m.filter(sec <= F.col("mid")))
-    evale = _session_items(ev_m.filter(sec > F.col("mid")))
+    from shortvideohybridanalyticslakehouse_spark.plans.queries_ext106 import (
+        _maybe_ckpt,
+    )
+
+    # train feeds BOTH the candidate miner and the session count, evale
+    # BOTH probe sides — eagerly materialize each once (guide §1.2/§5),
+    # released via finalize_bounded when the 1-row report materializes
+    train, _ck = _maybe_ckpt(_session_items(ev_m.filter(sec <= F.col("mid"))))
+    evale, _ = _maybe_ckpt(_session_items(ev_m.filter(sec > F.col("mid"))))
 
     recs = covis_candidates(train)
 
@@ -232,10 +242,11 @@ def q_covisitation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_train_sessions"))
     )
-    return multi.crossJoin(n_train).groupBy("n_train_sessions").agg(
+    result = multi.crossJoin(n_train).groupBy("n_train_sessions").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_probes"),
         F.sum("hit").cast("bigint").alias("n_hits"),
         F.expr(
             "CAST((sum(hit) * 1000000) DIV count(1) AS BIGINT)"
         ).alias("hit_rate_micro"),
     ).select("n_train_sessions", "n_eval_probes", "n_hits", "hit_rate_micro")
+    return finalize_bounded(result, train, evale) if _ck else result

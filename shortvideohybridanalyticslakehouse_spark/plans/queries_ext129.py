@@ -47,6 +47,7 @@ from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
     local_rows_df,
 )
 from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
     finalize_bounded,
     register,
 )
@@ -373,7 +374,7 @@ def q_kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if seed:
         out_rows.append((1, seed[0].vec_id, 0))
-        cur = (
+        cur = defer_release(
             base.filter(F.col("vec_id") != seed[0].vec_id)
             .select("vec_id", "v", _sqd_to(list(seed[0].v)).alias("dmin"))
             .localCheckpoint()
@@ -388,7 +389,7 @@ def q_kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             out_rows.append((rnd, rows[0].vec_id, rows[0].dmin))
             if rnd < _KC_K:
-                cur = (
+                cur = defer_release(
                     cur.filter(F.col("vec_id") != rows[0].vec_id)
                     .select(
                         "vec_id",

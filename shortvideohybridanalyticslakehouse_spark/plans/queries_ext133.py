@@ -42,7 +42,10 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext106 import (
     _bounded_session_items,
     _pairs,
 )
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import (
     load_table,
     scaled_shuffle_partitions,
@@ -351,7 +354,11 @@ def q_covis_rule_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events", ensure_parallelism=False),
         rows_per_partition=250_000,
     )
-    bounded = _bounded_session_items(spark, sf_dir)
+    from shortvideohybridanalyticslakehouse_spark.plans.queries_ext106 import (
+        _maybe_ckpt,
+    )
+
+    bounded, _ck = _maybe_ckpt(_bounded_session_items(spark, sf_dir))
     pairs = _pairs(bounded, n_shuf)
     item_sessions = bounded.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sess")
@@ -378,7 +385,7 @@ def q_covis_rule_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = item_sessions.select(
         F.col("item").alias("cons"), F.col("n_sess").alias("sessions_cons")
     ).repartition(n_shuf, "cons")
-    return (
+    result = (
         directed.filter(F.col("co_sessions") >= _RULE_MIN_CO)
         # O(catalog) build sides: shuffle_hash (ext106 r10 contract)
         .join(ia.hint("shuffle_hash"), "ante")
@@ -411,3 +418,4 @@ def q_covis_rule_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("confidence_micro"), F.asc("ante"), F.asc("cons"))
         .limit(_RULE_TOP)
     )
+    return finalize_bounded(result, bounded) if _ck else result

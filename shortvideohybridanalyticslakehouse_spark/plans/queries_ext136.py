@@ -145,12 +145,171 @@ def _sqd(a, b) -> F.Column:
     )
 
 
+# ---------------------------------------------------------------------
+# r13 Arrow path (guide §4.2): the posexplode centroid aggregation and
+# the per-member HOF distance scans run as exact-int64 numpy kernels.
+# Quantization floor(x*1e6+0.5), integer squared distances and the
+# milli-floored sqrt replicate the Catalyst expressions' IEEE ops one
+# for one; integer partial sums are associative, so results are
+# bit-identical (toggle-equality tested; oracle-gated at all SFs).
+# SVH_CENTROID_ARROW=0 restores the posexplode/HOF plan.
+# ---------------------------------------------------------------------
+
+
+def _arrow_on() -> bool:
+    import os
+
+    return os.environ.get("SVH_CENTROID_ARROW", "1") == "1"
+
+
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+
+
+def _quant_np(pdf_col):
+    import numpy as np  # noqa: PLC0415
+
+    X = np.stack(pdf_col.to_numpy()).astype(np.float64)
+    return np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
+
+
+def _cent_partials_kernel(it):
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    for pdf in it:
+        if not len(pdf):
+            continue
+        V = _quant_np(pdf["e"])
+        labels = pdf["label"].to_numpy()
+        rows = {"label": [], "d": [], "s": [], "n": []}
+        for lab in np.unique(labels):
+            mask = labels == lab
+            sums = V[mask].sum(axis=0)
+            n = int(mask.sum())
+            dim = V.shape[1]
+            rows["label"].extend([int(lab)] * dim)
+            rows["d"].extend(range(dim))
+            rows["s"].extend(int(x) for x in sums)
+            rows["n"].extend([n] * dim)
+        yield pd.DataFrame(rows).astype(
+            {"label": "int64", "d": "int32", "s": "int64", "n": "int64"}
+        )
+
+
+def _centroids_driver(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[int, tuple[int, list[int]]]]:
+    """(raw frame, {label: (n_vecs, centroid ints)}) via one kernel pass."""
+    import math
+
+    raw = _emb_raw(spark, sf_dir)
+    parts = (
+        raw.mapInPandas(
+            _cent_partials_kernel, "label long, d int, s long, n long"
+        )
+        .groupBy("label", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in parts:
+        by_label.setdefault(int(r.label), {})[int(r.d)] = (int(r.s), int(r.n))
+    cents: dict[int, tuple[int, list[int]]] = {}
+    for lab, cells in by_label.items():
+        dim = len(cells)
+        n = cells[0][1]
+        # floor over the DOUBLE quotient — the Catalyst expression casts
+        # both sides to double first, so replicate float(s)/float(n)
+        cents[lab] = (
+            n,
+            [int(math.floor(float(cells[d][0]) / float(cells[d][1]))) for d in range(dim)],
+        )
+    return raw, cents
+
+
 @register("label_centroid_db_index", _DB_ORACLE)
 def q_label_centroid_db_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Per-label Davies-Bouldin components: scatter (milli) and the
     worst (S_i+S_j)/M_ij separation ratio (micro) vs any other label."""
+    if _arrow_on():
+        import math
+
+        raw, cents = _centroids_driver(spark, sf_dir)
+        from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+            local_rows_df,
+        )
+
+        schema = (
+            "label bigint, n_vecs bigint, s_milli bigint, "
+            "worst_ratio_micro bigint"
+        )
+        if not cents:
+            return local_rows_df(spark, [], schema)
+        cvecs = {lab: c for lab, (_, c) in cents.items()}
+
+        def scatter_kernel(it):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _quant_np(pdf["e"])
+                labels = pdf["label"].to_numpy()
+                rows = {"label": [], "cnt": [], "dm": []}
+                for lab in np.unique(labels):
+                    c = np.asarray(cvecs[int(lab)], dtype=np.int64)
+                    diff = V[labels == lab] - c
+                    d2 = np.einsum("ij,ij->i", diff, diff)
+                    dm = np.floor(
+                        np.sqrt(d2.astype(np.float64)) * 1000.0
+                    ).astype(np.int64)
+                    rows["label"].append(int(lab))
+                    rows["cnt"].append(int((labels == lab).sum()))
+                    rows["dm"].append(int(dm.sum()))
+                yield pd.DataFrame(rows).astype("int64")
+
+        sc = (
+            raw.mapInPandas(scatter_kernel, "label long, cnt long, dm long")
+            .groupBy("label")
+            .agg(F.sum("cnt").alias("n_vecs"), F.sum("dm").alias("dm"))
+            .collect()
+        )
+        s_milli = {
+            int(r.label): (
+                int(r.n_vecs),
+                int(math.floor(float(r.dm) / float(r.n_vecs))),
+            )
+            for r in sc
+        }
+        rows = []
+        for lab, (n_vecs, si) in s_milli.items():
+            worst = None
+            for other, (_, sj) in s_milli.items():
+                if other == lab:
+                    continue
+                diff2 = sum(
+                    (x - y) * (x - y)
+                    for x, y in zip(cvecs[lab], cvecs[other])
+                )
+                m = int(math.floor(math.sqrt(float(diff2)) * 1000.0))
+                r = (
+                    9223372036854775807
+                    if m == 0
+                    else (si + sj) * 1_000_000 // m
+                )
+                worst = r if worst is None or r > worst else worst
+            if worst is not None:
+                rows.append((lab, n_vecs, si, worst))
+        return local_rows_df(spark, rows, schema)
+
     base, cent = _centroids(spark, sf_dir)
     # K-row centroid frame over the closed label alphabet: broadcast
     member_d = F.floor(
@@ -245,6 +404,54 @@ def q_centroid_label_confusion(
     squared distance, label tie-break) — the classifier-free label
     separability audit."""
     from pyspark.sql import Window
+
+    if _arrow_on():
+        raw, cents = _centroids_driver(spark, sf_dir)
+        if cents:
+            cand = sorted(cents)  # ascending label = argmin tie-break
+            cmat = [cents[lab][1] for lab in cand]
+
+            def confusion_kernel(it):
+                import numpy as np  # noqa: PLC0415
+                import pandas as pd  # noqa: PLC0415
+
+                C = np.array(cmat, dtype=np.int64)
+                cids = np.array(cand, dtype=np.int64)
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    V = _quant_np(pdf["e"])
+                    labels = pdf["label"].to_numpy()
+                    best_d = None
+                    best_c = None
+                    for j in range(len(C)):
+                        diff = V - C[j]
+                        d2 = np.einsum("ij,ij->i", diff, diff)
+                        if best_d is None:
+                            best_d = d2
+                            best_c = np.full(len(V), cids[j], np.int64)
+                        else:
+                            upd = d2 < best_d
+                            best_d = np.where(upd, d2, best_d)
+                            best_c = np.where(upd, cids[j], best_c)
+                    out = (
+                        pd.DataFrame(
+                            {"label": labels, "nearest_label": best_c}
+                        )
+                        .groupby(["label", "nearest_label"], as_index=False)
+                        .size()
+                        .rename(columns={"size": "cnt"})
+                    )
+                    yield out.astype("int64")
+
+            return (
+                raw.mapInPandas(
+                    confusion_kernel,
+                    "label long, nearest_label long, cnt long",
+                )
+                .groupBy("label", "nearest_label")
+                .agg(F.sum("cnt").cast("bigint").alias("n_vecs"))
+            )
 
     base, cent = _centroids(spark, sf_dir)
     assign = base.crossJoin(

@@ -22,6 +22,10 @@ from shortvideohybridanalyticslakehouse_spark.functions import dedupfns
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+)
+
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
@@ -53,9 +57,9 @@ def connected_components(
     # into the per-round join while it fits (labels <= 2x edges rows), so
     # the edge list never crosses an Exchange; past the envelope
     # (SVH_CC_BCAST_MAX_NODES) the shuffle join returns — same fixpoint.
-    base = edges.select(
+    base = defer_release(edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True))
     n_edges = base.count()
     nparts = int(max(1, min(4096, -(-n_edges // 500_000))))
     bcast_labels = 2 * n_edges <= int(
@@ -88,7 +92,9 @@ def connected_components(
         if cur == prev_sum:
             break
         prev_sum = cur
-    out = labels.select("node", "cluster_id").localCheckpoint(eager=True)
+    out = defer_release(
+        labels.select("node", "cluster_id").localCheckpoint(eager=True)
+    )
     for df in cached:
         df.unpersist()
     return out

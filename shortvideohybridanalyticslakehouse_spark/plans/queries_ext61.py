@@ -39,6 +39,10 @@ from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+)
+
 _K = 2
 _ROUNDS = 4
 
@@ -133,8 +137,8 @@ def q_similarity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lazy 4-branch union re-peeled rounds 1..r for every round r
     # (37 s), persist-only still paid quadratic analysis (23 s), the
     # checkpointed loop is ~12 s at sf0.01 — and stays fully distributed.
-    edges = edges.localCheckpoint(eager=True)
-    alive = (
+    edges = defer_release(edges.localCheckpoint(eager=True))
+    alive = defer_release(
         edges.select("src")
         .distinct()
         .withColumnRenamed("src", "doc_id")
@@ -152,6 +156,7 @@ def q_similarity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("doc_id"))
             .localCheckpoint(eager=True)
         )
+        nxt = defer_release(nxt)
         surv = nxt.count()
         stats.append((rnd, surv, prev_n - surv))
         prev_n = surv

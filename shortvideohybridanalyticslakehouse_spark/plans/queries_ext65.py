@@ -22,10 +22,15 @@ runs this" families.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    finalize_bounded,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import (
     load_table,
     scaled_shuffle_partitions,
@@ -105,6 +110,14 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .hint("shuffle_hash"),
         "l_orderkey",
     )
+    # baskets feeds FOUR consumers (order count, item support, both
+    # self-join sides) — lazily each re-ran the distinct + size-filter
+    # join (guide §1.2/§5). Materialize the skinny (orderkey, partkey)
+    # frame once; released via finalize_bounded after the top-20 row set
+    # materializes. SVH_BASKET_CKPT=0 keeps the lazy plan for A/B.
+    _ck = os.environ.get("SVH_BASKET_CKPT", "1") == "1"
+    if _ck:
+        baskets = baskets.localCheckpoint(eager=True)
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )
@@ -158,9 +171,10 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_micro"),
         )
     )
-    return scored.orderBy(
+    top = scored.orderBy(
         F.col("n_ab").desc(), F.col("part_a").asc(), F.col("part_b").asc()
     ).limit(20)
+    return finalize_bounded(top, baskets) if _ck else top
 
 
 _ATTR_ORACLE = """

@@ -38,6 +38,10 @@ from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+)
+
 _ROUNDS = 3
 _WORD_SQL = WORD_REGEX.replace("'", "''")
 
@@ -116,7 +120,7 @@ def _build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return vocab.localCheckpoint(eager=True)
+    return defer_release(vocab.localCheckpoint(eager=True))
 
 
 def _train(
@@ -166,6 +170,7 @@ def _train(
                 F.lit(f"|{win['l']}{win['r']}|"),
             ),
         ).localCheckpoint(eager=True)
+        vocab = defer_release(vocab)
     return vocab, out
 
 

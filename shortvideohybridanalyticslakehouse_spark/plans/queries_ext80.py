@@ -36,6 +36,10 @@ from shortvideohybridanalyticslakehouse_spark.plans.queries_ext import (
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+)
+
 _ROUNDS = 4
 _SEED_MOD = 97
 
@@ -121,8 +125,8 @@ def q_similarity_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)
-    frontier = (
+    edges = defer_release(edges.localCheckpoint(eager=True))
+    frontier = defer_release(
         edges.filter(F.col("src") % _SEED_MOD == 0)
         .select(F.col("src").alias("doc_id"))
         .distinct()
@@ -138,8 +142,11 @@ def q_similarity_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        nxt = defer_release(nxt)
         levels.append(nxt.withColumn("dist", F.lit(_rnd)))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = defer_release(
+            visited.unionByName(nxt).localCheckpoint(eager=True)
+        )
         frontier = nxt
     all_levels = levels[0]
     for lv in levels[1:]:

@@ -24,6 +24,10 @@ from shortvideohybridanalyticslakehouse_spark.functions import text
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+)
+
 _TOP_TERMS = 40
 _MIN_CO = 5
 _TOP_PAIRS = 30
@@ -76,6 +80,7 @@ def q_term_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    tok = defer_release(tok)
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     top = df.orderBy(F.col("c").desc(), F.col("term").asc()).limit(_TOP_TERMS)
     pruned = tok.join(F.broadcast(top), "term")

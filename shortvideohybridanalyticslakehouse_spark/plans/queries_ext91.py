@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 from shortvideohybridanalyticslakehouse_spark.plans.registry import register
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+)
+
 _K = 4
 _D = 64
 _ROUNDS = 3
@@ -226,7 +230,7 @@ def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the HOF path). SVH_KMEANS_ARROW=0 restores the old plan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _quantized(emb).localCheckpoint(eager=True)
+    q = defer_release(_quantized(emb).localCheckpoint(eager=True))
     use_arrow = os.environ.get("SVH_KMEANS_ARROW", "1") == "1"
 
     cents = [

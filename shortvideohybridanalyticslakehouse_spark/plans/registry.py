@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import functools
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -9,6 +11,32 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+# Checkpointed frames whose storage cannot be released inside their own
+# builder because the RETURNED plan still reads them (the result is
+# O(rows), so finalize_bounded's collect-and-release shape does not
+# apply). They are released at the start of the NEXT builder invocation:
+# in a bench/oracle session at most one query's blocks linger, instead
+# of every single_pass/iterative lane's blocks accumulating until the
+# ContextCleaner's GC-driven pass (ADVICE r12 on operators/ranks.py).
+_DEFERRED: list[DataFrame] = []
+_DEFERRED_LOCK = threading.Lock()
+
+
+def defer_release(df: DataFrame) -> DataFrame:
+    """Mark a checkpointed/persisted frame for release when the next
+    registered query builds. Returns the frame for chaining."""
+    with _DEFERRED_LOCK:
+        _DEFERRED.append(df)
+    return df
+
+
+def drain_deferred() -> None:
+    """Release every deferred frame (invoked before each builder runs)."""
+    with _DEFERRED_LOCK:
+        pending, _DEFERRED[:] = _DEFERRED[:], []
+    for df in pending:
+        release_materialized(df)
 
 
 def finalize_bounded(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -87,7 +115,12 @@ def register(name: str, oracle: str | None):
                 f"re-registered by {fn.__module__}.{fn.__qualname__} — "
                 f"pick a distinct name"
             )
-        REGISTRY[name] = (fn, oracle)
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            drain_deferred()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = (wrapped, oracle)
         return fn
 
     return deco
