@@ -160,6 +160,58 @@ FROM maj GROUP BY 1
 """
 
 
+def _band_keys_kernel(it):
+    """Arrow twin of the 16 `_plane_bit` Catalyst folds + explode: one
+    numpy int64 GEMM against the (16 x 64) plane matrix per batch
+    instead of 16 interpreted `aggregate(zip_with())` 64-element folds
+    per ROW (guide §4.2 — the map stage feeding the bucket shuffle was
+    the lane's hottest stage). Bit semantics replicated exactly from the
+    HOF path: NULL vector -> NULL dot -> `when(s >= 0).otherwise(0)`
+    = all bits 0; EMPTY vector -> fold init 0 -> s = 0 >= 0 = all bits
+    1; short vector -> plane sliced to len(v) (== zero-padded dot);
+    v longer than the 64-entry plane -> zip_with NULL-pads -> NULL dot
+    -> bits 0. Emits the exploded (vec_id, label, v, bkey) rows the
+    downstream per-bucket GEMM groups on."""
+    import numpy as np  # noqa: PLC0415 — Arrow path only
+    import pandas as pd  # noqa: PLC0415
+
+    planes = np.array(_KNN_PLANES, dtype=np.int64)  # (16, dim)
+    n_planes, dim = planes.shape
+    for pdf in it:
+        n = len(pdf)
+        if n == 0:
+            continue
+        vs = pdf["v"]
+        bits = np.zeros((n, n_planes), dtype=np.int64)
+        by_len: dict[int, list[int]] = {}
+        for i in range(n):
+            v = vs.iloc[i]
+            if v is None or len(v) > dim:
+                continue  # NULL dot -> bits stay 0
+            by_len.setdefault(len(v), []).append(i)
+        for ln, idxs in by_len.items():
+            ii = np.asarray(idxs)
+            if ln == 0:
+                bits[ii, :] = 1  # empty fold: s = 0 -> s >= 0
+                continue
+            mat = np.stack(
+                [np.asarray(vs.iloc[i], dtype=np.int64) for i in idxs]
+            )
+            bits[ii, :] = (mat @ planes[:, :ln].T >= 0).astype(np.int64)
+        keys = np.empty((n, _KNN_BANDS), dtype=np.int32)
+        for b in range(_KNN_BANDS):
+            keys[:, b] = b * 4 + bits[:, 2 * b] * 2 + bits[:, 2 * b + 1]
+        rep = np.repeat(np.arange(n), _KNN_BANDS)
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy()[rep],
+                "label": pdf["label"].to_numpy()[rep],
+                "v": vs.to_numpy()[rep],
+                "bkey": keys.ravel(),
+            }
+        )
+
+
 def _bucket_top5(pdf, block_cap: int = 4096):
     """Per-LSH-bucket local top-5 neighbors via a BLOCK-chunked int64
     GEMM. A degenerate/hot band bucket would make the full m x m
@@ -243,15 +295,28 @@ def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(s >= 0, 1).otherwise(0)
 
-    bkeys = F.array(
-        *[
-            F.lit(b * 4) + _plane_bit(2 * b) * 2 + _plane_bit(2 * b + 1)
-            for b in range(_KNN_BANDS)
-        ]
-    )
-    banded = base.select(
-        "vec_id", "label", "v", F.explode(bkeys).alias("bkey")
-    )
+    if os.environ.get("SVH_KNN_KERNEL", "1") != "0":
+        # One numpy GEMM per Arrow batch for the 16 plane bits, then a
+        # WIDTH-PINNED repartition on the 32-value bucket key so the
+        # CPU-heavy per-bucket Python GEMM stage keeps its parallelism —
+        # AQE byte-coalesces the ~4 MB bucket shuffle down to 4 tasks
+        # otherwise (the ext141 starvation, guide §2.5). The repartition's
+        # hashpartitioning(bkey) satisfies applyInPandas's clustered
+        # distribution, so no second exchange is planned.
+        banded = base.mapInPandas(
+            _band_keys_kernel,
+            "vec_id long, label long, v array<long>, bkey int",
+        ).repartition(32, "bkey")
+    else:
+        bkeys = F.array(
+            *[
+                F.lit(b * 4) + _plane_bit(2 * b) * 2 + _plane_bit(2 * b + 1)
+                for b in range(_KNN_BANDS)
+            ]
+        )
+        banded = base.select(
+            "vec_id", "label", "v", F.explode(bkeys).alias("bkey")
+        )
 
     # Per-bucket Arrow GEMM with LOCAL per-ida top-5 (the
     # lsh_bucket_topk_pairs strategy): a global-5-NN neighbor of ida is
@@ -363,6 +428,14 @@ def q_kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", _int_vec("embedding").alias("v"))
     seed = base.orderBy(F.col("vec_id").asc()).limit(1).collect()
     out_rows: list[tuple[int, int, int]] = []
+    # Lazy round checkpoints: the per-round TakeOrdered collect
+    # materializes the checkpoint blocks as a side effect of its own
+    # job, so each round runs ONE job instead of two (materialize +
+    # collect). Numerically identical — the same plan computes the same
+    # dmin either way. (A numpy mapInPandas distance kernel was measured
+    # here and REVERTED: per-round Arrow round-trips of the v column
+    # cost more than the 64-element fold saves — B/A 1.45 at sf0.1.)
+    _KC_EAGER = os.environ.get("SVH_KC_EAGER", "0") != "0"
 
     def _sqd_to(vec: list) -> F.Column:
         lit = F.array(*[F.lit(int(c)) for c in vec])
@@ -372,12 +445,13 @@ def q_kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, val: acc + val,
         )
 
+
     if seed:
         out_rows.append((1, seed[0].vec_id, 0))
         cur = defer_release(
             base.filter(F.col("vec_id") != seed[0].vec_id)
             .select("vec_id", "v", _sqd_to(list(seed[0].v)).alias("dmin"))
-            .localCheckpoint()
+            .localCheckpoint(eager=_KC_EAGER)
         )
         for rnd in range(2, _KC_K + 1):
             rows = (
@@ -398,7 +472,7 @@ def q_kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("dmin"), _sqd_to(list(rows[0].v))
                         ).alias("dmin"),
                     )
-                    .localCheckpoint()
+                    .localCheckpoint(eager=_KC_EAGER)
                 )
     result = local_rows_df(
         spark, out_rows, "round bigint, vec_id bigint, dist_sq bigint"

@@ -27,11 +27,15 @@ K x K aggregate over the closed event_type alphabet.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _PERIODS = (24, 12, 8, 168)
@@ -187,6 +191,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
     )
+    single_pass = os.environ.get("SVH_KM_SINGLEPASS", "1") != "0"
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("day"))).alias(
             "d0"
@@ -194,8 +199,23 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("day"))
         ).alias("dp"),
+        # per-user max day rides the same aggregate so the censoring
+        # horizon is max-of-maxes over the checkpointed per-user frame —
+        # without it the horizon broadcast re-scans and re-aggregates
+        # the whole events table a second time (guide §2.4)
+        F.max("day").alias("dmax_u"),
     )
-    horizon = F.broadcast(ev.agg(F.max("day").alias("dmax")))
+    if single_pass:
+        # lazy: the horizon broadcast's own (tiny) job materializes the
+        # checkpoint blocks; the main query then reads them — one events
+        # scan + one per-user aggregation total, no separate
+        # materialization job
+        per_user = defer_release(per_user.localCheckpoint(eager=False))
+        horizon = F.broadcast(
+            per_user.agg(F.max("dmax_u").alias("dmax"))
+        )
+    else:
+        horizon = F.broadcast(ev.agg(F.max("day").alias("dmax")))
     conv = (
         F.col("dp").isNotNull()
         & (F.col("dp") >= F.col("d0"))

@@ -27,12 +27,17 @@ part of the brief's text-analysis/training-data-pipeline mandate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions import text
 from shortvideohybridanalyticslakehouse_spark.operators.ranks import with_tiny_rank
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _K1 = 1.2
@@ -99,6 +104,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The TF frame feeds FOUR independent consumers (the stats->qterms
+    # branch, the consts/dl broadcast branch, and both sides of the
+    # scoring join) — without materialization each one re-runs the
+    # tokenize+explode+partial-agg subtree, so the corpus is tokenized
+    # 4x per run (guide §5: reuse > recompute). Checkpoint it once;
+    # storage is the aggregated postings list (far smaller than the
+    # corpus), released when the next lane builds.
+    if os.environ.get("SVH_BM25_TF_CKPT", "1") != "0":
+        tf = defer_release(tf.localCheckpoint())
     # doc length re-aggregates the (much smaller) TF frame instead of a
     # second tokenize+explode pass over the corpus
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))

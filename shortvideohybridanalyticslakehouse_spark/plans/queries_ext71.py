@@ -21,12 +21,17 @@ broadcast query vector); fusion is O(k) regardless of corpus size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shortvideohybridanalyticslakehouse_spark.functions import similarity, text
 from shortvideohybridanalyticslakehouse_spark.operators.ranks import with_tiny_rank
-from shortvideohybridanalyticslakehouse_spark.plans.registry import register
+from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+    defer_release,
+    register,
+)
 from shortvideohybridanalyticslakehouse_spark.sources.batch import load_table
 
 _K1 = 1.2
@@ -108,6 +113,11 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Same single-execution posture as q_bm25_topk: TF feeds the qterms
+    # branch, the consts/dl branch and both scoring-join sides — without
+    # this the corpus is tokenized 4x inside one lane.
+    if os.environ.get("SVH_BM25_TF_CKPT", "1") != "0":
+        tf = defer_release(tf.localCheckpoint())
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     consts = docs.agg(

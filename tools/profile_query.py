@@ -8,7 +8,7 @@ reports the wall-time split (plan-build vs execution), job/stage counts,
 the slowest stages with their task-time totals, and the top SQL-node
 metrics from the REST API — the local-mode stand-in for the Spark UI
 walk the optimization guide §1/§7 prescribes. Also writes
-plans/r12/<query>_profile.txt with the raw numbers.
+plans/r13/<query>_profile.txt with the raw numbers.
 
 Timed action = the bench's own action (xxhash64-of-struct sum collect)
 so the breakdown matches what bench.py measures.
