@@ -19,6 +19,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
@@ -57,6 +59,91 @@ def shingles(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )
+
+
+def _py_grams(toks, k: int) -> list:
+    """Python twin of ``shingles()`` applied to an already-split token
+    array: k-token windows joined by a space, shorter-than-k docs yield
+    the (up to k) leading tokens, de-duplicated. Order is NOT pinned to
+    array_distinct's first-occurrence order — every consumer treats the
+    grams as a SET (explode+distinct / hash-join / min-fold), so only
+    set equality matters."""
+    n = len(toks)
+    out = []
+    seen = set()
+    for i in range(max(n - k + 1, 1)):
+        g = " ".join(toks[i : i + k])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def _py_hash60(s: str) -> int:
+    """Python twin of ``hash60``: first 15 hex chars of md5 as int.
+    hashlib.md5 over UTF-8 bytes is bit-identical to Spark's md5()."""
+    import hashlib  # noqa: PLC0415
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def minhash_sig_udf(k: int, num_hashes: int = DEFAULT_NUM_HASHES):
+    """pandas UDF: token array -> 16-element MinHash signature, the
+    vectorized twin of ``with_minhash`` (same distinct-shingle multiset,
+    same md5-derived bases, same affine minima — exact int64 arithmetic,
+    A_i * base < 2^47 so no overflow either engine). Replaces the 16
+    INTERPRETED array_min(transform()) passes per row (guide §4.2);
+    stream-safe (stateless projection). Tokenization stays in Catalyst
+    so Java-regex split semantics are byte-identical.
+
+    NULL token array (NULL text) -> [NULL x 16], matching the HOF path."""
+    import pandas as pd  # noqa: PLC0415
+
+    def _sig(toks_s):
+        import numpy as np  # noqa: PLC0415
+
+        a = np.array(
+            [MINHASH_A_STEP * i + 1 for i in range(num_hashes)],
+            dtype=np.int64,
+        )
+        b = np.array(
+            [MINHASH_B_STEP * i for i in range(num_hashes)], dtype=np.int64
+        )
+        out = []
+        for toks in toks_s:
+            if toks is None:
+                out.append([None] * num_hashes)
+                continue
+            bases = np.array(
+                [_py_hash60(g) % MINHASH_P for g in _py_grams(toks, k)],
+                dtype=np.int64,
+            )
+            sig = (
+                (bases[:, None] * a[None, :] + b[None, :]) % MINHASH_P
+            ).min(axis=0)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(_sig, "array<bigint>")
+
+
+def gram_hash_udf(k: int):
+    """pandas UDF: token array -> distinct k-gram hash60 values (the
+    vectorized twin of ``transform(shingles(text, k), hash60)``); same
+    set of 60-bit ints, computed per batch instead of per interpreted
+    lambda. NULL token array -> NULL, matching the HOF path."""
+    import pandas as pd  # noqa: PLC0415
+
+    def _gh(toks_s):
+        out = []
+        for toks in toks_s:
+            if toks is None:
+                out.append(None)
+                continue
+            out.append([_py_hash60(g) for g in _py_grams(toks, k)])
+        return pd.Series(out)
+
+    return F.pandas_udf(_gh, "array<bigint>")
 
 
 def shingle_bases(shingle_col: Column) -> Column:
@@ -198,6 +285,10 @@ def minhash_candidate_pairs(
             "doc_b",
         )
     )
+    # (r13: an unrolled codegen sum of element_at comparisons was
+    # measured against this HOF and was NEUTRAL at sf0.1 — 1.00 on
+    # near_dup_lsh_verified, 1.10 on minhash_lsh_candidates — the
+    # 16-element lambda loop is not this plan's bottleneck; reverted.)
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),

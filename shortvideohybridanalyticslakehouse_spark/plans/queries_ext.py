@@ -568,6 +568,16 @@ def q_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_sig = dedupfns.minhash_signatures_df(
         docs, "doc_id", "text", k=2, num_hashes=16, out_col="minhash"
     )
+    # r13: the signature frame feeds FOUR consumers inside
+    # minhash_candidate_pairs (both band-join sides + both est-Jaccard
+    # re-attach joins); checkpoint it once so the shingle+md5+16-min
+    # aggregation subtree executes once, not per consumer (guide §5).
+    if os.environ.get("SVH_LSHV_SIG_CKPT", "1") == "1":
+        from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+            defer_release as _dr,
+        )
+
+        with_sig = _dr(with_sig.localCheckpoint())
     cand = dedupfns.minhash_candidate_pairs(
         with_sig, id_col="doc_id", sig_col="minhash", num_hashes=16, band_size=2
     ).filter(F.col("est_jaccard") * 16 >= 4).select("doc_a", "doc_b")

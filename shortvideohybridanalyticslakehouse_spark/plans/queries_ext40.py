@@ -171,6 +171,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("top_cnt").cast("double") / F.col("q_n") <= QF_MAX_TOP_FRACTION)
     )
     s2 = s1.join(qdoc.filter(pass_all).select("doc_id"), "doc_id", "left_semi")
+    # r13: the quality semi-join subtree (the explode + two aggregates)
+    # executed TWICE per run — once into s3's checkpoint and once for the
+    # stage-2 report branch (profiled: the 887 KB quality stage appears
+    # 2x per trial). Checkpointing s2 runs it once; s3's window and the
+    # report branch both read the blocks.
+    if (
+        os.environ.get("SVH_FUNNEL_CKPT", "1") != "0"
+        and os.environ.get("SVH_FUNNEL_CKPT_S2", "1") != "0"
+    ):
+        s2 = s2.localCheckpoint()
 
     # r12 (guide §1.2/§2.4; supersedes the r5 lazy-vs-persist note): the
     # six stage aggregates + the near-dup/contamination probes re-run the
@@ -238,5 +248,5 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _ck:
         # 6-row report: materialize, then release the checkpointed stage
         # frames (cache lifetimes stay query-scoped — the hygiene gate)
-        return finalize_bounded(report, s3, s4)
+        return finalize_bounded(report, s2, s3, s4)
     return report

@@ -122,12 +122,12 @@ def main() -> None:
         out = "\n".join(lines)
         print(out, flush=True)
         os.makedirs(
-            os.path.join(os.path.dirname(__file__), "..", "plans", "r12"),
+            os.path.join(os.path.dirname(__file__), "..", "plans", "r13"),
             exist_ok=True,
         )
         with open(
             os.path.join(
-                os.path.dirname(__file__), "..", "plans", "r12", f"{name}_profile.txt"
+                os.path.dirname(__file__), "..", "plans", "r13", f"{name}_profile.txt"
             ),
             "w",
         ) as fh:
