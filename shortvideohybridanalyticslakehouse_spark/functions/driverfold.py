@@ -78,6 +78,58 @@ def expected_steps_fold(
     return h
 
 
+def pca_power_fold(
+    n: int,
+    gram: dict,
+    marg: dict,
+    dim: int,
+    iters: int,
+) -> tuple[list[float], float]:
+    """Replicates queries_ext83's 8-round power iteration over the
+    integer second-moment stats, bit for bit:
+
+      mat[i][j] = double(n * gram[i,j] - marg[i] * marg[j]) / (n_d * n_d)
+      u_i  = round(fold_j(acc + mat[i][j] * v_j, seed 0.0), 12)
+      nrm  = round(sqrt(fold(acc + u_i * u_i, seed 0.0)), 12)
+      v'_i = round(u_i / nrm, 12)
+      lam  = round(fold(acc + v_i * u_i, seed 0.0), 6)   # u from final v
+
+    int64 products/differences are exact; long->double casts and IEEE
+    +,*,/ and Math.sqrt are correctly rounded identically on the JVM and
+    CPython; round() goes through spark_round. Returns (v, lam)."""
+    import math
+
+    n_d = float(n)
+    nsq = n_d * n_d
+    mat = [
+        [float(n * gram[(i, j)] - marg[i] * marg[j]) / nsq for j in range(dim)]
+        for i in range(dim)
+    ]
+
+    def mv(v: list[float]) -> list[float]:
+        out = []
+        for i in range(dim):
+            a = 0.0
+            for j in range(dim):
+                a = a + mat[i][j] * v[j]
+            out.append(spark_round(a, 12))
+        return out
+
+    v = [0.125] * dim
+    for _ in range(iters):
+        u = mv(v)
+        a = 0.0
+        for x in u:
+            a = a + x * x
+        nrm = spark_round(math.sqrt(a), 12)
+        v = [spark_round(x / nrm, 12) for x in u]
+    u = mv(v)
+    a = 0.0
+    for x, y in zip(v, u):
+        a = a + x * y
+    return v, spark_round(a, 6)
+
+
 def stationary_power_fold(
     pm: list[float], n: int, iters: int
 ) -> list[float]:

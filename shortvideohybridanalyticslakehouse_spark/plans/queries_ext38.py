@@ -137,6 +137,17 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deg", F.count(F.lit(1)).over(_W.partitionBy("src"))
     ).persist()
     nodes = docs.select("doc_id").distinct()
+    if os.environ.get("SVH_PR_NODES_CKPT", "1") != "0":
+        # the node list is consumed by every iteration's dangling-node
+        # left join (and the seed rank): lazily checkpoint it so the
+        # docs scan+distinct runs once, materialized inside the first
+        # action instead of as an extra serial job (the measured-win
+        # posture from the edges persist above)
+        from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+            defer_release as _dr,
+        )
+
+        nodes = _dr(nodes.localCheckpoint(eager=False))
     rank = nodes.withColumn("rank", F.lit("1.0").cast("decimal(28,12)"))
     for _ in range(_ITERS):
         contrib = (

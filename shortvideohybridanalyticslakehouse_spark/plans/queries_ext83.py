@@ -29,6 +29,8 @@ parallel with a 4 KB-per-partition reduce payload.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -148,6 +150,46 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = similarity.int_gram_stats(
         emb, "vec_id", "embedding", dim=_D, scale=_SCALE
     )
+    if os.environ.get("SVH_PCA_DRIVERFOLD", "1") != "0":
+        # r13 (the markov-lane treatment, guide §1.2/§5): the 8-round
+        # power iteration runs on a SINGLE 64x64-matrix row — as a
+        # Catalyst expression it is a ~2 s single-task stage of
+        # interpreted array HOFs (plus its codegen/planning cost) that
+        # scales with NOTHING. Collect the 4161 exact-integer stat rows
+        # (produced by the distributed ANSI-guarded GEMM SUM, which
+        # keeps the overflow gate) and fold on the driver with
+        # bit-identical arithmetic (driverfold.pca_power_fold).
+        rows = stats.collect()
+        n_val = next(
+            (r["s"] for r in rows if r["i"] == -1 and r["j"] == -1), None
+        )
+        if n_val:
+            from shortvideohybridanalyticslakehouse_spark.functions.driverfold import (
+                pca_power_fold,
+            )
+            from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
+                local_rows_df,
+            )
+
+            gram = {
+                (r["i"], r["j"]): r["s"]
+                for r in rows
+                if r["i"] >= 0 and r["j"] >= 0
+            }
+            marg = {
+                r["i"]: r["s"] for r in rows if r["i"] >= 0 and r["j"] == -1
+            }
+            v, lam = pca_power_fold(n_val, gram, marg, _D, _ITERS)
+            from shortvideohybridanalyticslakehouse_spark.functions.driverfold import (
+                spark_round,
+            )
+
+            out = [
+                (d, spark_round(v[d], 6), lam) for d in range(_D)
+            ]
+            return local_rows_df(
+                spark, out, "dim int, loading double, eigenvalue double"
+            )
     packed = stats.agg(
         F.max(
             F.when((F.col("i") == -1) & (F.col("j") == -1), F.col("s"))

@@ -24,6 +24,8 @@ O(doc length).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,6 +104,9 @@ def q_bigram_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.col("toks")).alias("term")
     )
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # (r13: an eager checkpoint of uni + n_tok-from-sum(uni) was measured
+    # and REVERTED — B/A 1.25 at sf0.1; the O(vocab) count frame is
+    # cheaper to recompute per consumer than to materialize serially.)
     n_tok = tok.agg(F.count(F.lit(1)).alias("n"))
     # bigrams map-side from the token array (the phrase-search idiom) —
     # no (doc_id, pos) self-join shuffle
