@@ -11,6 +11,8 @@ rule — with one cast-divide-round per output.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,6 +56,17 @@ def q_rec_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration of recommendation slots (popularity-bias tripwire:
     1e6/n_items = uniform, 1e6 = one item hogs every slot)."""
     recs = q_item_cf_recommendations(spark, sf_dir)
+    if os.environ.get("SVH_RECQ_CKPT", "1") != "0":
+        # r13: the whole item-CF pipeline feeds BOTH the slot-count
+        # aggregate and the broadcast stats aggregate — each re-ran it
+        # (profiled: its 1-task cosine stages appear twice per trial).
+        # Checkpoint the O(items x 3) rec table once (eager: the stats
+        # broadcast races a lazy one).
+        from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+            defer_release as _dr,
+        )
+
+        recs = _dr(recs.localCheckpoint(eager=True))
     ev = load_table(spark, sf_dir, "events")
     catalog = F.broadcast(
         ev.select(
