@@ -698,14 +698,26 @@ def reband_hot_buckets(
     """
     from pyspark import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    for lvl in range(1, max_extra_levels + 1):
-        hot_rows = (
-            banded.groupBy("bkey")
+    def _hot_count(df: DataFrame) -> list:
+        """One job: a full-pass bucket count that BOTH materializes the
+        freshly-persisted frontier (groupBy consumes every cached row)
+        and returns the next level's hot-bucket list — fusing the old
+        separate `nxt.count()` materialization job with the next
+        iteration's count job (r13, guide §1.2: one pass per level
+        instead of two)."""
+        return (
+            df.groupBy("bkey")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > bucket_cap)
             .collect()
         )
+
+    fuse = os.environ.get("SVH_REBAND_FUSE", "1") != "0"
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    hot_rows = _hot_count(banded) if fuse else None
+    for lvl in range(1, max_extra_levels + 1):
+        if not fuse:
+            hot_rows = _hot_count(banded)
         if not hot_rows:
             break
         spark = banded.sparkSession
@@ -772,7 +784,10 @@ def reband_hot_buckets(
         # Materialize the new frontier BEFORE dropping the old one so the
         # next level's count (and the final scorer) read cached rows instead
         # of recomputing the whole fingerprint lineage from scratch.
-        nxt.count()
+        if fuse:
+            hot_rows = _hot_count(nxt)
+        else:
+            nxt.count()
         banded.unpersist()
         banded = nxt
     return banded

@@ -25,6 +25,8 @@ a calendar gap-fill join, then an O(parts) bounded fold; ljung-box is a
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,6 +116,17 @@ def q_croston_intermittent_forecast(
         )
         .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
     )
+    if os.environ.get("SVH_CROSTON_CKPT", "1") != "0":
+        # r13: the weekly demand aggregate feeds THREE consumers (the
+        # top-parts cut, the calendar bounds, and the grid left join) —
+        # each re-ran the lineitem x orders join+aggregate (the lane's
+        # three ~7 MB-shuffle stages). Checkpoint the O(part x week)
+        # frame once (eager: sibling branches race a lazy one).
+        from shortvideohybridanalyticslakehouse_spark.plans.registry import (
+            defer_release as _dr,
+        )
+
+        weekly = _dr(weekly.localCheckpoint(eager=True))
     top_parts = (
         weekly.groupBy("part")
         .agg(F.sum("qty").alias("tq"))
