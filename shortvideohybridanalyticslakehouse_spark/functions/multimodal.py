@@ -87,14 +87,33 @@ import os as _os
 _MM_CHAIN_ATTR = "_svh_mm_chain"
 
 
-def _compose_kernels(kernels):
-    """Compose batch-iterator transformers into one: each kernel is an
+def _prune_batches(it, cols):
+    for pdf in it:
+        yield pdf[cols]
+
+
+def _compose_kernels(stages):
+    """Compose batch-iterator transformers into one: each stage is a
+    ``(kernel, in_cols)`` pair where the kernel is an
     ``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` generator, so
     composition streams batch-by-batch (memory stays one batch per
-    stage, exactly as the chained mapInPandas would hold)."""
+    stage, exactly as the chained mapInPandas would hold).
+
+    Each stage's input is PRUNED to its declared ``in_cols`` (same
+    columns, same order, as the un-fused ``df.select(in_cols)``) before
+    the kernel runs — without this, a kernel that yields extra columns
+    would silently feed them to its successor only under fusion
+    (ADVICE r12 on _map_stage). dtype coercion of intermediate yields
+    is NOT applied: kernels contractually yield schema-exact dtypes
+    (asserted by the fusion bit-equality test), and the final stage's
+    output still passes Arrow coercion to the declared out_schema."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for k in kernels:
+        first = True
+        for k, cols in stages:
+            if not first and cols is not None:
+                it = _prune_batches(it, cols)
+            first = False
             it = k(it)
         yield from it
 
@@ -114,12 +133,19 @@ def _map_stage(
     synthetic payloads -> resize -> decode-stats), the kernels are
     composed into ONE mapInPandas over the ORIGINAL input: intermediate
     payload bytes never leave the Python worker. The composed kernels
-    see bit-identical pandas input (each kernel consumes exactly the
-    frames its predecessor yields), so results are unchanged; only the
-    number of boundary crossings drops. Fusion only fires when the
-    previous stage's declared output covers ``in_cols`` and can be
-    disabled with SVH_MM_FUSE=0 (the un-fused plan is the debugging
-    view).
+    see the same pandas input as the un-fused plan (each stage's frames
+    are pruned to its ``in_cols`` before its kernel runs), so results
+    are unchanged; only the number of boundary crossings drops. Fusion
+    only fires when the previous stage's declared output covers
+    ``in_cols`` and can be disabled with SVH_MM_FUSE=0 (the un-fused
+    plan is the debugging view).
+
+    HARD REQUIREMENT: kernels must be DETERMINISTIC functions of their
+    input batches. This already holds for re-execution under Spark task
+    retries; fusion additionally re-composes the chain from its root for
+    each downstream consumer, so a nondeterministic kernel (unseeded
+    randomness, wall-clock reads) would produce inconsistent rows
+    ACROSS CONSUMERS with no warning (ADVICE r12).
     """
     in_cols = list(in_cols)
     chain = getattr(df, _MM_CHAIN_ATTR, None)
@@ -128,9 +154,9 @@ def _map_stage(
         and _os.environ.get("SVH_MM_FUSE", "1") != "0"
         and set(in_cols) <= set(chain["out_names"])
     ):
-        kernels = chain["kernels"] + [batches]
+        stages = chain["stages"] + [(batches, in_cols)]
         out = chain["root"].select(*chain["root_cols"]).mapInPandas(
-            _compose_kernels(kernels), out_schema
+            _compose_kernels(stages), out_schema
         )
         object.__setattr__(
             out,
@@ -138,7 +164,7 @@ def _map_stage(
             {
                 "root": chain["root"],
                 "root_cols": chain["root_cols"],
-                "kernels": kernels,
+                "stages": stages,
                 "out_names": [f.name for f in out_schema.fields],
             },
         )
@@ -150,7 +176,7 @@ def _map_stage(
         {
             "root": df,
             "root_cols": in_cols,
-            "kernels": [batches],
+            "stages": [(batches, in_cols)],
             "out_names": [f.name for f in out_schema.fields],
         },
     )
