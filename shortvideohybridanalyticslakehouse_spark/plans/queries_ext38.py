@@ -142,12 +142,10 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # left join (and the seed rank): lazily checkpoint it so the
         # docs scan+distinct runs once, materialized inside the first
         # action instead of as an extra serial job (the measured-win
-        # posture from the edges persist above)
-        from shortvideohybridanalyticslakehouse_spark.plans.registry import (
-            defer_release as _dr,
-        )
-
-        nodes = _dr(nodes.localCheckpoint(eager=False))
+        # posture from the edges persist above); released together with
+        # the edge relation in finalize_bounded below (the cache-hygiene
+        # gate asserts this builder leaves zero persisted RDDs behind)
+        nodes = nodes.localCheckpoint(eager=False)
     rank = nodes.withColumn("rank", F.lit("1.0").cast("decimal(28,12)"))
     for _ in range(_ITERS):
         contrib = (
@@ -181,7 +179,7 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Top-20 is driver-bounded: materialize it, then drop the persisted
     # edge relation so the cache doesn't outlive the query.
-    return finalize_bounded(top, edges)
+    return finalize_bounded(top, edges, nodes)
 
 
 # ---------------------------------------------------------------------------
