@@ -12,7 +12,6 @@ from shortvideohybridanalyticslakehouse_spark.plans.registry import (
     drain_deferred,
     load_all,
 )
-from shortvideohybridanalyticslakehouse_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -30,9 +29,13 @@ TOGGLED = [
 ]
 
 
-@pytest.fixture(scope="module")
-def spark():
-    return get_spark("test-r13-toggles")
+# NOTE deliberately NO module-level spark fixture: the suite shares
+# conftest's local[4] session, and calling get_spark() here would
+# silently RAISE the shared session's runtime spark.sql.shuffle.partitions
+# to 32 (builder confs apply as runtime confs on getOrCreate) — which
+# makes EnsureRequirements align scaled width-5 repartitions up to 32
+# and order-dependently breaks every width-asserting test that runs
+# after this file (found r13: test_scaled_shuffle failed only in-suite).
 
 
 def _canon(rows):
@@ -67,9 +70,21 @@ def test_deferred_checkpoints_released_at_next_build(spark):
     NEXT registered builder runs, no blocks from the prior lane linger."""
     registry = load_all()
     fn, _ = registry["similarity_graph_kcore"]  # defers edge/alive blocks
+    # Diff against the pre-existing set (the hygiene-gate convention):
+    # other surfaces — e.g. the serving pipeline's documented
+    # one-generation rolled cache — may legitimately hold blocks when
+    # the full suite runs this test mid-session; THIS lane's deferred
+    # blocks are what must appear and then drain.
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     df = fn(spark, SF_DIR)
     df.collect()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0  # blocks deferred, not leaked
+
+    def _new():
+        return (
+            set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+            - before
+        )
+
+    assert _new()  # blocks deferred, not leaked
     drain_deferred()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert _new() == set()

@@ -30,7 +30,12 @@ def test_same_function_reregister_is_idempotent(scratch_name):
     fn = _make("mod_a", "q_lane")
     registry.register(scratch_name, None)(fn)
     registry.register(scratch_name, "SELECT 1")(fn)  # re-import shape
-    assert registry.REGISTRY[scratch_name] == (fn, "SELECT 1")
+    # register() wraps every builder in the drain_deferred shim (r13),
+    # so compare through __wrapped__ — the registered callable must
+    # still be THIS function, and the re-registration must have won.
+    got_fn, got_oracle = registry.REGISTRY[scratch_name]
+    assert got_fn.__wrapped__ is fn
+    assert got_oracle == "SELECT 1"
 
 
 def test_same_qualname_different_module_raises(scratch_name):
