@@ -13,14 +13,15 @@ from pyspark.sql import functions as F
 from shortvideohybridanalyticslakehouse_spark.functions.driverfold import (
     spark_round,
 )
-from shortvideohybridanalyticslakehouse_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def spark():
-    return get_spark("test-driverfold")
+# NOTE: no module-level spark fixture — use conftest's shared local[4]
+# session. get_spark() here would re-apply builder confs as RUNTIME confs
+# on the existing session (shuffle.partitions 4 -> 32) and
+# order-dependently break width-asserting tests later in the suite
+# (the r13 toggle-file lesson).
 
 
 def test_spark_round_bit_exact_grid(spark):

@@ -8,7 +8,6 @@ from __future__ import annotations
 import pytest
 
 from shortvideohybridanalyticslakehouse_spark.plans.registry import load_all
-from shortvideohybridanalyticslakehouse_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -20,9 +19,11 @@ LANES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def spark():
-    return get_spark("test-sa-cap")
+# NOTE: no module-level spark fixture — use conftest's shared local[4]
+# session. get_spark() here would re-apply builder confs as RUNTIME confs
+# on the existing session (shuffle.partitions 4 -> 32) and
+# order-dependently break width-asserting tests later in the suite
+# (the r13 toggle-file lesson).
 
 
 @pytest.mark.parametrize("lane", LANES)

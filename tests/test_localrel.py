@@ -14,12 +14,13 @@ from shortvideohybridanalyticslakehouse_spark.functions.localrel import (
     bounded_rows_df,
     local_rows_df,
 )
-from shortvideohybridanalyticslakehouse_spark.session import get_spark
 
 
-@pytest.fixture(scope="module")
-def spark():
-    return get_spark("test-localrel")
+# NOTE: no module-level spark fixture — use conftest's shared local[4]
+# session. get_spark() here would re-apply builder confs as RUNTIME confs
+# on the existing session (shuffle.partitions 4 -> 32) and
+# order-dependently break width-asserting tests later in the suite
+# (the r13 toggle-file lesson).
 
 
 def _assert_same(spark, rows, schema):
