@@ -364,7 +364,13 @@ def q_ks_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    if os.environ.get("SVH_KS_SINGLEPASS", "1") != "0":
+    if os.environ.get("SVH_KS_SINGLEPASS", "0") == "1":
+        # DEFAULT OFF (r13): interleaved A/B measured 0.90, but the full
+        # 349-lane bench (the driver's context) measured this lane
+        # 1.0 s -> 5.4 s with the checkpoint, consistent across trials —
+        # a late-session eager-checkpoint cost the paired harness does
+        # not reproduce. The old two-scan plan stays the default; the
+        # toggle preserves the single-pass variant for a cluster rerun.
         # Single events scan: the bounds broadcast and the bin counts
         # both derive from ONE per-cents pre-aggregate (checkpointed,
         # O(distinct cent values) rows — bounded by the price domain).
